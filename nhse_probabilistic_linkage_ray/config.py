@@ -1,0 +1,155 @@
+"""Pipeline configuration.
+
+The analog of the reference's parameters objects
+(``/root/reference/parameters_dedupe.py:6-157`` and
+``parameters_linking.py:11-145``): every knob that shapes blocking, comparison
+and clustering is data-driven and serialized as JSON.  The config hash names
+the run (analog of ``model_hash`` at ``/root/reference/run_pipeline.py:22``)
+and gates checkpointed resume — a stage checkpoint is only reused when its
+manifest records the same config hash.
+
+The Fellegi-Sunter m/u parameters per tier mirror the model-JSON structure at
+``/root/reference/tests/model_tests.py:46-75`` and keep the reference's
+clamping rules (``/root/reference/utils/model_utils.py:87-94``): m=0 -> 1e-6,
+u=0/NaN -> 1e-9, m renormalized to sum to 1 over non-null levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+from dataclasses import dataclass, field
+
+
+# Tier (gamma) levels, top-down like Splink comparison levels
+# (ref semantics: /root/reference/utils/parameter_lists.py:2-247; null level -1,
+# ELSE level 0, higher = stronger agreement).
+GAMMA_NULL = -1       # unreadable / empty content    (ref: null level)
+GAMMA_EXACT = 4       # content sha256 equal          (ref: exact FULL_NAME match)
+GAMMA_JACCARD_HI = 3  # exact Jaccard >= tau_hi       (ref: jaro_winkler > 0.88)
+GAMMA_JACCARD_LO = 2  # exact Jaccard >= tau_lo       (ref: token-intersect level)
+GAMMA_RESCUED = 1     # SimHash Hamming <= h or LCS frac >= lambda (ref: nickname level)
+GAMMA_ELSE = 0        # non-duplicate                 (ref: ELSE)
+
+TIER_NAMES = {
+    GAMMA_NULL: "null",
+    GAMMA_EXACT: "exact",
+    GAMMA_JACCARD_HI: "jaccard_hi",
+    GAMMA_JACCARD_LO: "jaccard_lo",
+    GAMMA_RESCUED: "rescued",
+    GAMMA_ELSE: "else",
+}
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs for the dedup pipeline. Frozen → hashable → names the run."""
+
+    # --- shingling (ref analog: name tokenisation + array_distinct,
+    #     /root/reference/utils/preprocessing_utils.py:129-224)
+    shingle_k: int = 5            # tokens per shingle
+    min_tokens: int = 1           # rows with fewer tokens hit the null tier
+
+    # --- MinHash signature (the "model": same shingle/signature config must
+    #     reproduce reference cluster assignments per BASELINE.json north_rule)
+    num_perms: int = 128
+    seed: int = 42
+
+    # --- LSH banding (ref analog: blocking_rules_to_generate_predictions,
+    #     /root/reference/parameters_dedupe.py:26-44; band index == match_key)
+    num_bands: int = 32           # num_perms == num_bands * rows_per_band
+
+    # --- verification tiers (ref analog: comparison levels,
+    #     /root/reference/utils/parameter_lists.py)
+    jaccard_hi: float = 0.9       # gamma 3
+    jaccard_threshold: float = 0.7  # gamma 2; the dup decision boundary
+    rescue_low: float = 0.5       # est-Jaccard floor to even attempt rescue
+    simhash_hamming_max: int = 3  # gamma 1 via SimHash
+    lcs_frac_threshold: float = 0.8  # gamma 1 via longest-common-substring
+
+    # --- clustering (ref analog: cluster_pairwise_predictions_at_threshold /
+    #     find_connected_ids, /root/reference/utils/dataset_ingestion_utils.py:487-540)
+    # Edges with gamma >= this cluster together. Default 2 (= exact Jaccard >=
+    # jaccard_threshold): gamma-1 "rescued" pairs are reported as close matches
+    # (analog of CLOSE_MATCHES_THRESHOLD, /root/reference/parameters_dedupe.py:23-24
+    # and get_best_match's close-match list, utils/model_utils.py:194-254) but do
+    # not link, so cluster assignments match the exact-Jaccard oracle.
+    cluster_min_gamma: int = 2
+    max_cc_iterations: int = 50
+
+    # --- skew handling (north_rule: explicit salted repartitioning)
+    max_band_group: int = 4096    # soft cap on files per (band, hash) bucket
+    max_pairs_per_band_group: int = 2_000_000
+
+    # --- normalization (ref analog: preprocess_postcode / standardise_white_space,
+    #     /root/reference/utils/preprocessing_utils.py:71-125,307-371)
+    strip_trailing_ws: bool = True
+    collapse_blank_lines: bool = True
+    lowercase: bool = False       # code is case-sensitive by default
+
+    # --- execution
+    batch_size: int = 1024        # rows per batch for content-heavy stages
+    signature_concurrency: int = 0   # 0 = let Ray size the pool (stateless-ish tasks)
+    num_buckets: int = 64         # hash-partition width for large-side joins
+
+    # --- Fellegi-Sunter scoring (ref clamping: utils/model_utils.py:87-94)
+    prior: float = 1e-4           # probability_two_random_records_match
+    m_probabilities: tuple = (0.001, 0.02, 0.08, 0.3, 0.599)   # gamma 0..4
+    u_probabilities: tuple = (0.95, 0.04, 0.008, 0.0015, 0.0005)
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perms % self.num_bands == 0
+        return self.num_perms // self.num_bands
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        d = json.loads(s)
+        for k in ("m_probabilities", "u_probabilities"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    @property
+    def config_hash(self) -> str:
+        """Names the run; gates resume (ref: model_hash, run_pipeline.py:22)."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    # --- Fellegi-Sunter weights -------------------------------------------
+    def clamped_mu(self) -> tuple:
+        """Apply the reference's clamping rules (utils/model_utils.py:87-94):
+        m=0 -> 1e-6, u=0/NaN -> 1e-9, then renormalize m to sum to 1."""
+        m = [x if x and not math.isnan(x) else 1e-6 for x in self.m_probabilities]
+        u = [x if x and not math.isnan(x) else 1e-9 for x in self.u_probabilities]
+        s = sum(m)
+        m = [x / s for x in m]
+        return tuple(m), tuple(u)
+
+    def match_weight(self, gamma: int) -> float:
+        """log2 Bayes factor for one tier outcome, plus the prior-odds term.
+        gamma=-1 (null) contributes 0, like Splink's null level."""
+        prior_odds = math.log2(self.prior / (1.0 - self.prior))
+        if gamma < 0:
+            return prior_odds
+        m, u = self.clamped_mu()
+        return prior_odds + math.log2(m[gamma] / u[gamma])
+
+    @staticmethod
+    def weight_to_probability(w: float) -> float:
+        """match_probability = sigmoid of the log2 weight (Splink semantics)."""
+        return (2.0 ** w) / (1.0 + 2.0 ** w)
+
+    def lsh_collision_probability(self, s: float) -> float:
+        """P(candidate | true Jaccard s) under b bands x r rows: 1-(1-s^r)^b.
+        Used by tests to assert the banding config supports recall >= 0.99 at
+        the configured jaccard_threshold (BASELINE.md target)."""
+        r = self.rows_per_band
+        return 1.0 - (1.0 - s ** r) ** self.num_bands
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,99 @@
+"""Content + identity hashing kernels.
+
+Analog of the reference's synthetic-id and equality machinery:
+
+- ``file_id`` replaces Spark's ``monotonically_increasing_id`` at
+  ``/root/reference/utils/dataset_ingestion_utils.py:141,450``. Spark's id is
+  partition-dependent; ours is a *deterministic* 64-bit hash of
+  (repo, path, commit) so ids are stable across cluster sizes and resumes
+  (SURVEY.md M20 design note). At true 10^12-file scale a 128-bit id would be
+  used to keep birthday collisions negligible; the engine treats the id as an
+  opaque uint64 key so widening it is a localized change.
+- ``content_sha256`` is the per-row invariant pinned by BASELINE.json: sha256
+  of the raw (un-normalized) content must be preserved through the pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+
+# splitmix64 constants — public-domain finalizer (Steele et al., used by
+# java.util.SplittableRandom); standard choice for avalanche mixing.
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: avalanches a uint64 array in place-ish."""
+    x = x.astype(_U64, copy=True)
+    x += _SM_GAMMA
+    x ^= x >> _U64(30)
+    x *= _SM_M1
+    x ^= x >> _U64(27)
+    x *= _SM_M2
+    x ^= x >> _U64(31)
+    return x
+
+
+def hash_strings_u64(values: list | np.ndarray) -> np.ndarray:
+    """uint64 blake2b hash per string. Python loop, but only ever applied to
+    *unique* vocabulary entries per batch (see shingle.py), never per token."""
+    out = np.empty(len(values), dtype=_U64)
+    h = hashlib.blake2b
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(h(v.encode("utf-8", "surrogatepass"), digest_size=8).digest(), "little")
+    return out
+
+
+def sha256_bytes(content: str | bytes) -> bytes:
+    if isinstance(content, str):
+        content = content.encode("utf-8", "surrogatepass")
+    return hashlib.sha256(content).digest()
+
+
+def sha256_hex_column(contents: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex of a string column. hashlib releases the GIL-light
+    C path; this runs once at ingest only."""
+    vals = contents.to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(v.encode("utf-8", "surrogatepass")).hexdigest())
+    return pa.array(out, type=pa.string())
+
+
+def file_id_column(repo: pa.Array, path: pa.Array, commit: pa.Array) -> np.ndarray:
+    """Deterministic uint64 id = first 8 bytes of sha256(repo\\x00path\\x00commit).
+
+    Replaces monotonically_increasing_id (SURVEY.md M20): identical ids at any
+    parallelism level, any resume point.
+    """
+    r, p, c = repo.to_pylist(), path.to_pylist(), commit.to_pylist()
+    out = np.empty(len(r), dtype=_U64)
+    for i in range(len(r)):
+        d = hashlib.sha256(
+            (r[i] or "").encode() + b"\x00" + (p[i] or "").encode() + b"\x00" + (c[i] or "").encode()
+        ).digest()
+        out[i] = int.from_bytes(d[:8], "little")
+    return out
+
+
+def hash_pair_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive mix of two uint64 arrays into one (used for edge-set
+    checksums in the connected-components convergence test)."""
+    return mix64(a.astype(_U64) * _U64(0x9E3779B97F4A7C15) ^ mix64(b.astype(_U64)))
+
+
+def stable_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket for partitioned joins / salting — replaces
+    the reference's rand()-bucket subsampling (SURVEY.md O2: hash-based, never
+    order-dependent RNG)."""
+    return (mix64(ids.astype(_U64)) % _U64(num_buckets)).astype(np.int64)

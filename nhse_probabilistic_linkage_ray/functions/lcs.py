@@ -1,0 +1,116 @@
+"""Longest-common-substring fraction over token-hash sequences.
+
+The near-miss rescue tier named by the north star ("suffix-array
+longest-common-substring verification"); analog of the reference's
+levenshtein/jaro-winkler near-miss comparison levels
+(``/root/reference/utils/parameter_lists.py:108,25``).
+
+Algorithm: binary search on the LCS length L; the predicate "do a and b share
+a common substring of length L" is answered by intersecting the sets of
+rolling polynomial hashes of all L-grams — O((n+m) log min(n,m)) total, fully
+vectorized. Substrings are over the *token-hash sequence* (order-preserving,
+duplicates kept), so the measure is whitespace/format-insensitive, matching
+the normalize->tokenize front end. Two independent 31-bit modular hashes make
+false-positive probability ~ (n*m)/2^62 — negligible and one-sided (can only
+overestimate LCS, never underestimate; the tests pin exact values on
+adversarial fixtures).
+
+This replaces an O(n*m) suffix-automaton/difflib scan with a vectorized
+numpy kernel — the per-pair cost matters because the rescue pair set can be
+large under skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.int64(2147483629)  # primes < 2^31
+_P2 = np.int64(2147483587)
+_B1 = np.int64(1000003)
+_B2 = np.int64(1000033)
+
+_pow_cache: dict = {}
+
+
+def _powers(base: np.int64, mod: np.int64, n: int) -> np.ndarray:
+    """pow table base^i mod p, grown geometrically and cached per process
+    (the 'compile once per worker' state of SURVEY.md T1)."""
+    key = (int(base), int(mod))
+    arr = _pow_cache.get(key)
+    if arr is None or len(arr) < n + 1:
+        size = max(1024, 1 << (n + 1).bit_length())
+        arr = np.empty(size, dtype=np.int64)
+        arr[0] = 1
+        # sequential but data-independent and cached; vectorized per block
+        for i in range(1, size):
+            arr[i] = (arr[i - 1] * base) % mod
+        _pow_cache[key] = arr
+    return arr
+
+
+def _prefix_hashes(x: np.ndarray, base: np.int64, mod: np.int64) -> np.ndarray:
+    """pref[t] = hash of x[:t] under (base, mod), computed without a Python
+    loop: pref[t] = (cumsum(x[s] * base^-s) * base^(t-1)) mod p, using the
+    cached inverse-power table."""
+    n = len(x)
+    inv_base = pow(int(base), int(mod) - 2, int(mod))
+    invp = _powers(np.int64(inv_base), mod, n)
+    powp = _powers(base, mod, n)
+    xm = (x.astype(np.uint64) % np.uint64(mod)).astype(np.int64)
+    c = (xm * invp[:n]) % mod          # both factors < 2^31 => product < 2^62, fits int64
+    pref = np.empty(n + 1, dtype=np.int64)
+    pref[0] = 0
+    # cumulative sum of values < 2^31: int64-safe up to ~2^32 tokens per doc
+    acc = np.add.accumulate(c, dtype=np.int64)
+    pref[1:] = ((acc % mod) * powp[:n]) % mod
+    return pref
+
+
+def _gram_hashes(pref: np.ndarray, L: int, base: np.int64, mod: np.int64) -> np.ndarray:
+    """Hashes of all L-grams from prefix hashes: h[i] = (pref[i+L] - pref[i]*base^L) mod p."""
+    n = len(pref) - 1
+    if L > n:
+        return np.empty(0, dtype=np.int64)
+    bl = _powers(base, mod, L)[L]
+    h = (pref[L:] - (pref[: n - L + 1] * bl) % mod) % mod
+    return h
+
+
+def _shares_gram(pa_: np.ndarray, pb: np.ndarray, qa: np.ndarray, qb: np.ndarray, L: int) -> bool:
+    ha1 = _gram_hashes(pa_, L, _B1, _P1)
+    hb1 = _gram_hashes(pb, L, _B1, _P1)
+    if len(ha1) == 0 or len(hb1) == 0:
+        return False
+    ha2 = _gram_hashes(qa, L, _B2, _P2)
+    hb2 = _gram_hashes(qb, L, _B2, _P2)
+    ca = ha1 * np.int64(1) + (ha2 << np.int64(31))
+    cb = hb1 + (hb2 << np.int64(31))
+    return np.intersect1d(ca, cb).size > 0
+
+
+def lcs_length(a: np.ndarray, b: np.ndarray) -> int:
+    """Length (in tokens) of the longest common substring of two uint64
+    token-hash sequences."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0
+    pa1 = _prefix_hashes(a, _B1, _P1)
+    pb1 = _prefix_hashes(b, _B1, _P1)
+    pa2 = _prefix_hashes(a, _B2, _P2)
+    pb2 = _prefix_hashes(b, _B2, _P2)
+    lo, hi = 0, min(n, m)  # invariant: length lo always achievable
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _shares_gram(pa1, pb1, pa2, pb2, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def lcs_fraction(a: np.ndarray, b: np.ndarray) -> float:
+    """LCS length / min(len) — 1.0 means one file's token stream is wholly
+    contained in the other."""
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    return lcs_length(a, b) / min(len(a), len(b))
