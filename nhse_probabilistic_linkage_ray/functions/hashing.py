@@ -71,18 +71,21 @@ def sha256_hex_column(contents: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def file_id_column(repo: pa.Array, path: pa.Array, commit: pa.Array) -> np.ndarray:
-    """Deterministic uint64 id = first 8 bytes of sha256(repo\\x00path\\x00commit).
+    """Deterministic int64 id = first 63 bits of sha256(repo\\x00path\\x00commit),
+    kept positive so numpy / Arrow / DuckDB / Python all agree on ordering
+    (cluster_id = min(member id) must be identical everywhere).
 
     Replaces monotonically_increasing_id (SURVEY.md M20): identical ids at any
-    parallelism level, any resume point.
+    parallelism level, any resume point. int64 (not uint64) because shuffle
+    keys must stay a native Arrow/pandas dtype end-to-end.
     """
     r, p, c = repo.to_pylist(), path.to_pylist(), commit.to_pylist()
-    out = np.empty(len(r), dtype=_U64)
+    out = np.empty(len(r), dtype=np.int64)
     for i in range(len(r)):
         d = hashlib.sha256(
             (r[i] or "").encode() + b"\x00" + (p[i] or "").encode() + b"\x00" + (c[i] or "").encode()
         ).digest()
-        out[i] = int.from_bytes(d[:8], "little")
+        out[i] = int.from_bytes(d[:8], "little") & 0x7FFFFFFFFFFFFFFF
     return out
 
 

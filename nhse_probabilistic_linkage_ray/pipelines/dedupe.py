@@ -1,0 +1,159 @@
+"""End-to-end dedupe pipeline: files -> clusters (+ pairs, metrics).
+
+The Ray-native lifecycle of SURVEY.md §3.4 — the analog of the reference's
+``run_pipeline.py`` -> predict -> evaluate chain, driven as one function:
+
+read -> ingest/normalize (stateless map_batches) -> exact-dedup pre-pass
+(groupby) -> signatures (actor pool) [checkpoint] -> banding + candidate pairs
+(flat_map + salted groupby) [checkpoint] -> tiered verification (broadcast or
+partitioned join) -> threshold -> distributed connected components
+[checkpoint] -> cluster assignment for every input row -> reports.
+
+``run_dedupe`` is the checkpointed, resumable form (per-stage Parquet +
+manifest, north_rule); ``dedupe_dataset`` is the in-memory form used by the
+driver-contract ``queries()`` and tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from nhse_probabilistic_linkage_ray.config import PipelineConfig
+from nhse_probabilistic_linkage_ray.stages.candidates import candidate_pairs
+from nhse_probabilistic_linkage_ray.stages.cluster import assign_clusters, connected_components
+from nhse_probabilistic_linkage_ray.stages.ingest import (
+    exact_edges,
+    exact_group_stage,
+    ingest_stage,
+    representatives,
+)
+from nhse_probabilistic_linkage_ray.stages.report import cluster_size_histogram
+from nhse_probabilistic_linkage_ray.stages.score import score_stage
+from nhse_probabilistic_linkage_ray.stages.signature import signature_stage
+from nhse_probabilistic_linkage_ray.state import manifests
+
+
+def _dup_edges(scored_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray.data.Dataset":
+    """Scored pairs above the link tier -> (u, v) edge Dataset."""
+    gmin = config.cluster_min_gamma
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        g = batch["gamma"].to_numpy(zero_copy_only=False)
+        m = g >= gmin
+        return pa.table({
+            "u": batch["left_id"].filter(pa.array(m)),
+            "v": batch["right_id"].filter(pa.array(m)),
+        })
+
+    return scored_ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ensure_blocks(ds: "ray.data.Dataset", target: int) -> "ray.data.Dataset":
+    """Split a materialized dataset into at least ``target`` blocks so actor
+    pools downstream can parallelize (no-op when already wide; never coalesces
+    a large run's natural block count)."""
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        return ds
+    if nb is not None and nb < target:
+        return ds.repartition(target)
+    return ds
+
+
+def _pool_width() -> int:
+    import ray as _ray
+
+    return int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+
+
+def dedupe_dataset(
+    files_ds: "ray.data.Dataset", config: PipelineConfig | None = None
+) -> dict:
+    """In-memory pipeline. Returns dict of Datasets:
+    clusters (file-level assignment), scored_pairs, signatures, exact_mapped."""
+    config = config or PipelineConfig()
+
+    ingested = ingest_stage(files_ds, config)
+    mapped = exact_group_stage(ingested, config)
+    # the mapped table is consumed by three branches — materialize ONCE
+    mapped = _ensure_blocks(mapped.materialize(), 2 * _pool_width()).materialize()
+
+    reps = representatives(mapped)
+    sigs = signature_stage(reps, config).materialize()
+
+    # materialize the (narrow) pair list before the scorer's actor pool spins
+    # up — the pool and the pair-generation shuffle must not contend for CPUs
+    pairs = _ensure_blocks(candidate_pairs(sigs, config).materialize(), _pool_width())
+    scored = score_stage(pairs, sigs, config).materialize()
+
+    edges = _dup_edges(scored, config).union(exact_edges(mapped))
+    components = connected_components(edges, config)
+    all_ids = mapped.select_columns(["file_id", "repo", "path", "commit", "lang",
+                                     "content_sha256", "rep_id"])
+    clusters = assign_clusters(all_ids, components, config)
+
+    return {
+        "clusters": clusters,
+        "scored_pairs": scored,
+        "signatures": sigs,
+        "exact_mapped": mapped,
+    }
+
+
+def run_dedupe(
+    input_path: str,
+    workdir: str,
+    config: PipelineConfig | None = None,
+    *,
+    resume: bool = True,
+) -> dict:
+    """Checkpointed pipeline over a Parquet files table.
+
+    Every heavy stage writes ``<workdir>/<stage>/data/*.parquet`` +
+    ``manifest.json``; with ``resume=True`` a stage whose manifest matches the
+    (config hash, input fingerprint) is reused — signature, banding/pairs and
+    clustering are each independently resumable (north_rule)."""
+    config = config or PipelineConfig()
+    os.makedirs(workdir, exist_ok=True)
+    fp = f"{input_path}"
+    ch = config.config_hash
+
+    def stage(name, build):
+        d = os.path.join(workdir, name)
+        if resume and manifests.is_complete(d, ch, fp):
+            return manifests.load(d)
+        ds = build()
+        return manifests.checkpoint(ds, d, stage=name, config_hash=ch, input_fingerprint=fp)
+
+    files_ds = ray.data.read_parquet(input_path)
+
+    mapped = stage("exact", lambda: exact_group_stage(ingest_stage(files_ds, config), config))
+    sigs = stage("signature", lambda: signature_stage(representatives(mapped), config))
+    pairs = stage("pairs", lambda: candidate_pairs(sigs, config))
+    scored = stage("scored", lambda: score_stage(pairs, sigs, config))
+    comps = stage("components", lambda: connected_components(
+        _dup_edges(scored, config).union(exact_edges(mapped)), config))
+    clusters = stage("clusters", lambda: assign_clusters(
+        mapped.select_columns(["file_id", "repo", "path", "commit", "lang",
+                               "content_sha256", "rep_id"]),
+        comps, config))
+
+    # metrics sidecars (per-partition lineage + metrics per north_rule)
+    hist = cluster_size_histogram(clusters)
+    hist_path = os.path.join(workdir, "metrics")
+    os.makedirs(hist_path, exist_ok=True)
+    hist.write_parquet(os.path.join(hist_path, "cluster_size_histogram"),
+                       mode="overwrite")
+
+    return {
+        "clusters": clusters,
+        "scored_pairs": scored,
+        "signatures": sigs,
+        "exact_mapped": mapped,
+        "workdir": workdir,
+    }

@@ -1,0 +1,178 @@
+"""Distributed connected components over the duplicate-edge Dataset.
+
+Replaces the reference's driver-memory BFS ``find_connected_ids``
+(``/root/reference/utils/dataset_ingestion_utils.py:487-540`` — it collects the
+entire edge set to the driver, SURVEY.md §4 "driver-memory hazards") and
+matches the output contract of Splink's
+``cluster_pairwise_predictions_at_threshold``: every node mapped to a
+deterministic ``cluster_id = min(member id)`` of its component.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", public) — converges in
+O(log n) rounds. Each star step is ONE ``groupby(node).map_groups`` shuffle
+over the *edge* Dataset (edges ≈ dup pairs ≪ files); per-round edge dedup is
+one more groupby. No joins — on small clusters Ray's hash-join aggregator
+actors can starve the CPU pool, and the groupby formulation needs none.
+Nothing is collected to the driver except an 8-byte checksum per round.
+
+Determinism/resume: every round is a pure function of the previous edge set;
+the pipeline checkpoints the converged components (north_rule clustering
+resume).
+
+Convergence: (row count, sum of per-edge mix64 % 1e9+7) stable across a
+round; ``max_cc_iterations`` is a hard stop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from nhse_probabilistic_linkage_ray.config import PipelineConfig
+from nhse_probabilistic_linkage_ray.functions.hashing import hash_pair_u64
+
+_CHECK_MOD = np.uint64(1_000_000_007)
+
+
+def join_partitions(config: PipelineConfig) -> int:
+    """Hash-join partition count bounded by cluster CPUs — Ray spawns one
+    aggregator actor per partition; more partitions than CPUs deadlocks small
+    clusters and adds overhead on big ones."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(config.num_buckets, cpus))
+
+
+def _canon(batch: pa.Table) -> pa.Table:
+    """Orient every edge (hi, lo), drop self-loops, in-batch dedup."""
+    u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    m = hi != lo
+    hi, lo = hi[m], lo[m]
+    if len(hi):
+        pairs = np.unique(np.stack([hi, lo], axis=1), axis=0)
+        hi, lo = pairs[:, 0], pairs[:, 1]
+    return pa.table({"u": pa.array(hi, pa.int64()), "v": pa.array(lo, pa.int64())})
+
+
+def _dedup_edges(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Global (u, v) dedup: in-batch np.unique, then one groupby."""
+    return (
+        ds.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["u", "v"])
+    )
+
+
+def _edge_stats(ds: "ray.data.Dataset") -> tuple:
+    def cs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        h = hash_pair_u64(u, v) % _CHECK_MOD
+        return pa.table({"cs": pa.array([int(h.sum())], pa.int64()),
+                         "n": pa.array([len(u)], pa.int64())})
+
+    agg = ds.map_batches(cs, batch_format="pyarrow", zero_copy_batch=True) \
+            .aggregate(Sum("cs", alias_name="cs"), Sum("n", alias_name="n"))
+    return (agg.get("n") or 0, agg.get("cs") or 0)
+
+
+def _large_star_group(group: dict) -> dict:
+    """One node's neighborhood: m = min(N(u) ∪ {u}); emit (v, m) ∀ v > u."""
+    src = np.int64(group["src"][0])
+    dst = np.asarray(group["dst"], dtype=np.int64)
+    m = min(np.int64(dst.min()), src)
+    big = dst[dst > src]
+    return {"u": big, "v": np.full(len(big), m, dtype=np.int64)}
+
+
+def _small_star_group(group: dict) -> dict:
+    """One hi-node's smaller neighbors: m = min; emit (v, m) ∀ v plus (u, m)."""
+    u = np.int64(group["u"][0])
+    v = np.asarray(group["v"], dtype=np.int64)
+    m = np.int64(v.min())
+    out_u = np.concatenate([v, [u]])
+    out_v = np.full(len(v) + 1, m, dtype=np.int64)
+    return {"u": out_u, "v": out_v}
+
+
+def _large_star(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    b = edges.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("src").map_groups(_large_star_group, batch_format="numpy")
+
+
+def _small_star(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    return edges.groupby("u").map_groups(_small_star_group, batch_format="numpy")
+
+
+def connected_components(
+    edges_ds: "ray.data.Dataset", config: PipelineConfig
+) -> "ray.data.Dataset":
+    """Edge Dataset (u, v) -> assignment Dataset (file_id, cluster_id).
+
+    Materializes the edge set between rounds (it is the small derived table of
+    the pipeline — never the input corpus)."""
+    cur = _dedup_edges(edges_ds).materialize()
+    prev_stats = _edge_stats(cur)
+    for _ in range(config.max_cc_iterations):
+        cur = _dedup_edges(_large_star(cur)).materialize()
+        cur = _dedup_edges(_small_star(cur)).materialize()
+        stats = _edge_stats(cur)
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+
+    # At the fixpoint the edge set is a star forest rooted at component minima:
+    # u -> root. One final groupby guards determinism if multiple roots linger.
+    assign = cur.groupby("u").aggregate(Min("v", alias_name="cluster_id"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # roots themselves: cluster_id = self
+        return pa.table({
+            "file_id": pa.array(np.concatenate([u, c]), pa.int64()),
+            "cluster_id": pa.array(np.concatenate([c, c]), pa.int64()),
+        })
+
+    out = assign.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("file_id").aggregate(Min("cluster_id", alias_name="cluster_id"))
+
+
+def assign_clusters(
+    all_ids_ds: "ray.data.Dataset", components_ds: "ray.data.Dataset", config: PipelineConfig
+) -> "ray.data.Dataset":
+    """Left-join every file_id against the component map; unmatched files are
+    their own singleton cluster (contract parity with find_connected_ids +
+    the full-table join at
+    /root/reference/notebooks_dedupe/select_training_data_dedupe.py:111)."""
+    joined = all_ids_ds.join(
+        components_ds, join_type="left_outer",
+        num_partitions=join_partitions(config), on=("file_id",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fid = batch["file_id"].combine_chunks().cast(pa.int64())
+        cl = batch["cluster_id"].combine_chunks().cast(pa.int64())
+        filled = pc.if_else(pc.is_null(cl), fid, cl)
+        cols = {n: batch[n] for n in batch.column_names if n != "cluster_id"}
+        cols["cluster_id"] = filled
+        return pa.table(cols)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""Per-stage Parquet checkpoints with lineage manifests.
+
+The reference "checkpoints" by materializing Splink intermediates to Delta
+tables (``break_lineage_method='delta_lake_table'`` at
+``/root/reference/notebooks_dedupe/training_dedupe.py:97`` and manual
+``cache().count()`` barriers at ``predict_dedupe.py:84,99``) but cannot resume
+a failed run. Here every stage writes ``<workdir>/<stage>/data/*.parquet``
+plus ``manifest.json`` recording the config hash, an input fingerprint, row
+count and metrics; a rerun reuses any stage whose manifest matches
+(north_rule: "checkpointed resume of signature, banding, and clustering
+stages with per-partition lineage + metrics").
+
+Writes are atomic: data lands in ``<stage>.tmp/``, is renamed into place, and
+the manifest is written last — a crash mid-stage leaves no manifest, so the
+stage reruns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "manifest.json")
+
+
+def is_complete(stage_dir: str, config_hash: str, input_fingerprint: str) -> bool:
+    mp = _manifest_path(stage_dir)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return m.get("config_hash") == config_hash and m.get("input_fingerprint") == input_fingerprint
+
+
+def checkpoint(
+    ds: "ray.data.Dataset",
+    stage_dir: str,
+    *,
+    stage: str,
+    config_hash: str,
+    input_fingerprint: str,
+    metrics: dict | None = None,
+) -> "ray.data.Dataset":
+    """Write ds to stage_dir/data, record the manifest, return a fresh reader
+    (cutting lineage like the reference's break_lineage, but resumable)."""
+    tmp = stage_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    data_tmp = os.path.join(tmp, "data")
+    os.makedirs(data_tmp, exist_ok=True)
+    ds.write_parquet(data_tmp)
+    # per-partition lineage: record the part files + row count
+    parts = sorted(os.listdir(data_tmp))
+    rows = ray.data.read_parquet(data_tmp).count()
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "rows": rows,
+        "partitions": parts,
+        "metrics": metrics or {},
+        "created_unix": time.time(),
+    }
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    os.rename(tmp, stage_dir)
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return ray.data.read_parquet(os.path.join(stage_dir, "data"))
+
+
+def load(stage_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(stage_dir, "data"))
+
+
+def read_manifest(stage_dir: str) -> dict:
+    with open(_manifest_path(stage_dir)) as f:
+        return json.load(f)
