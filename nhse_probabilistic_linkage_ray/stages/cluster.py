@@ -119,14 +119,43 @@ def _small_star(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.groupby("u").map_groups(_small_star_group, batch_format="numpy")
 
 
+DRIVER_CC_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(
-    edges_ds: "ray.data.Dataset", config: PipelineConfig
+    edges_ds: "ray.data.Dataset", config: PipelineConfig, *, mode: str = "auto"
 ) -> "ray.data.Dataset":
     """Edge Dataset (u, v) -> assignment Dataset (file_id, cluster_id).
+
+    mode='auto' counts the deduped edge set first: a provably small graph
+    (< DRIVER_CC_EDGE_LIMIT edges) is solved with a driver union-find — the
+    pattern the Ray Data guidance endorses for small candidate sets — while
+    anything larger runs the distributed star passes. mode='distributed' /
+    'driver' force a path (tests exercise both). The two paths produce
+    identical assignments (cluster_id = min member).
 
     Materializes the edge set between rounds (it is the small derived table of
     the pipeline — never the input corpus)."""
     cur = _dedup_edges(edges_ds).materialize()
+    if mode == "auto":
+        mode = "driver" if cur.count() <= DRIVER_CC_EDGE_LIMIT else "distributed"
+    if mode == "driver":
+        import pyarrow as _pa
+
+        from nhse_probabilistic_linkage_ray.state.union_find import UnionFind
+
+        uf = UnionFind()
+        for batch in cur.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            for i in range(len(u)):
+                uf.union(int(u[i]), int(v[i]))
+        comp = uf.components()
+        t = _pa.table({
+            "file_id": _pa.array(list(comp.keys()), _pa.int64()),
+            "cluster_id": _pa.array(list(comp.values()), _pa.int64()),
+        })
+        return ray.data.from_arrow(t)
     prev_stats = _edge_stats(cur)
     for _ in range(config.max_cc_iterations):
         cur = _dedup_edges(_large_star(cur)).materialize()
