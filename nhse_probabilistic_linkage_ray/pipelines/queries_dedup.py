@@ -1,0 +1,331 @@
+"""Dedup / text-analysis / similarity queries over the ``documents`` and
+``embeddings`` test tables — the training-data-pipeline operator set
+(exact dedup, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup,
+ANN top-k, language-ID, quality scoring, token counting, fingerprinting).
+
+Each ``q_*`` takes ``sf_dir`` and returns a Dataset / pandas DataFrame whose
+column names + values match the DuckDB oracle SQL in ``oracle_sql()`` where
+one exists (non-SQL-expressible ops are rows-only checked by the driver and
+pinned instead by the pytest oracle suite).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from nhse_probabilistic_linkage_ray.config import PipelineConfig
+from nhse_probabilistic_linkage_ray.functions import textstats
+from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
+
+
+def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def _with_md5(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    h = [hashlib.md5((t or "").encode("utf-8", "surrogatepass")).hexdigest() for t in texts]
+    return batch.append_column("group_hash", pa.array(h, pa.string()))
+
+
+def q_exact_dedup_groups(sf_dir: str):
+    """Exact-duplicate groups by content hash: the D1 pre-pass as a query
+    (ref dropDuplicates, /root/reference/utils/dataset_ingestion_utils.py:257)."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_with_md5, batch_format="pyarrow")
+        .select_columns(["doc_id", "group_hash"])
+        .groupby("group_hash")
+        .aggregate(Min("doc_id", alias_name="rep_id"), Count(alias_name="n_members"))
+    )
+
+
+def q_exact_dedup_keep_first(sf_dir: str):
+    """Deduplicated id list: min doc_id per distinct content."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_with_md5, batch_format="pyarrow")
+        .groupby("group_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def q_exact_cluster_size_histogram(sf_dir: str):
+    """Count-of-counts over exact groups (A1, ref select_training_data_dedupe.py:45-48)."""
+    return (
+        q_exact_dedup_groups(sf_dir)
+        .groupby("n_members")
+        .aggregate(Count(alias_name="n_clusters"))
+        .select_columns(["n_members", "n_clusters"])
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = textstats.token_count_ws(batch["text"].to_pylist())
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_normalize(sf_dir: str):
+    """Whitespace-collapse + lowercase normalization (M4/M7 analogs, ref
+    standardise_white_space /root/reference/utils/preprocessing_utils.py:307-371)."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = [ws.sub(" ", (t or "")).strip().lower() for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "norm_text": pa.array(out, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality features (length / punct / stopword / alpha ratios) — rows-only
+    (regex unicode classes are not DuckDB-parity-safe)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = textstats.quality_scores(batch["text"].to_pylist())
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "length": pa.array(s["length"], pa.int64()),
+            "mean_word_len": pa.array(np.round(s["mean_word_len"], 6), pa.float64()),
+            "punct_ratio": pa.array(np.round(s["punct_ratio"], 6), pa.float64()),
+            "stop_ratio": pa.array(np.round(s["stop_ratio"], 6), pa.float64()),
+            "alpha_ratio": pa.array(np.round(s["alpha_ratio"], 6), pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (stopword-profile voting) — rows-only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "lang_pred": pa.array(textstats.language_id(batch["text"].to_pylist()), pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints — rows-only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = textstats.fingerprint_rolling(batch["text"].to_pylist())
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- near-dup (word sets)
+
+def q_word_jaccard_pairs(sf_dir: str):
+    """All-pairs word-set Jaccard >= 0.5 among doc_id < 300 — an n-gram-
+    Jaccard dedup operator small enough for an exact SQL oracle. Tokens are
+    lowercase \\w+ words, de-duplicated per doc (matching the SQL's
+    list_distinct(regexp_extract_all(lower(text), '\\w+')))."""
+    import re
+
+    word = re.compile(r"\w+")
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) < 300)),
+        batch_format="pyarrow",
+    )
+    rows = ds.take_all()
+    sets = {r["doc_id"]: frozenset(word.findall((r["text"] or "").lower())) for r in rows}
+    ids = sorted(sets)
+    id_arr = np.array(ids, dtype=np.int64)
+    set_list = [sets[i] for i in ids]
+    ref = ray.put((id_arr, set_list))
+
+    def pair_block(batch: pa.Table) -> pa.Table:
+        ids_, sets_ = ray.get(ref)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        out_l, out_r, out_j = [], [], []
+        for i in lo:
+            si = sets_[i]
+            for j in range(i + 1, len(ids_)):
+                sj = sets_[j]
+                if not si and not sj:
+                    jac = 1.0
+                else:
+                    inter = len(si & sj)
+                    union = len(si) + len(sj) - inter
+                    jac = inter / union if union else 0.0
+                if jac >= 0.5:
+                    out_l.append(int(ids_[i])); out_r.append(int(ids_[j])); out_j.append(round(jac, 6))
+        return pa.table({
+            "left_id": pa.array(out_l, pa.int64()),
+            "right_id": pa.array(out_r, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    idx = ray.data.from_items([{"lo": i} for i in range(len(ids))])
+    return idx.map_batches(pair_block, batch_format="pyarrow", batch_size=16)
+
+
+# --------------------------------------------------------- MinHash / SimHash
+
+def q_minhash_dedup_clusters(sf_dir: str):
+    """Flagship: full MinHash-LSH dedup pipeline over the files-shaped
+    adapter of documents -> (file_id, cluster_id). Rows-only for the driver;
+    pinned against the brute-force oracle in pytest."""
+    from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+    from nhse_probabilistic_linkage_ray.sources.documents import files_from_documents
+
+    out = dedupe_dataset(files_from_documents(sf_dir), PipelineConfig())
+    return out["clusters"].select_columns(["file_id", "cluster_id", "content_sha256"])
+
+
+def q_simhash_near_pairs(sf_dir: str):
+    """SimHash-based near-dup pairs (Hamming <= 6) among documents — the
+    standalone SimHash dedup operator. Rows-only."""
+    from nhse_probabilistic_linkage_ray.functions.shingle import shingle_hashes, token_hashes_batch
+    from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
+
+    def sig(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch["text"].to_pylist()]
+        flat, offs = token_hashes_batch(texts)
+        sh, so = shingle_hashes(flat, offs, 3)
+        s = simhash_fn(sh, so)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "simhash": pa.array(s.view(np.int64), pa.int64()),
+        })
+
+    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in sigs], dtype=np.int64)
+    hs = np.array([r["simhash"] for r in sigs], dtype=np.int64).view(np.uint64)
+    ref = ray.put((ids, hs))
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        ids_, hs_ = ray.get(ref)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        L, R, D = [], [], []
+        for i in lo:
+            rest = np.arange(i + 1, len(ids_))
+            if len(rest) == 0:
+                continue
+            d = hamming_distance(np.full(len(rest), hs_[i], dtype=np.uint64), hs_[rest])
+            keep = rest[d <= 6]
+            L.extend([int(ids_[i])] * len(keep))
+            R.extend(int(ids_[k]) for k in keep)
+            D.extend(int(x) for x in d[d <= 6])
+        return pa.table({
+            "left_id": pa.array(L, pa.int64()),
+            "right_id": pa.array(R, pa.int64()),
+            "hamming": pa.array(D, pa.int64()),
+        })
+
+    idx = ray.data.from_items([{"lo": i} for i in range(len(ids))])
+    return idx.map_batches(pairs_block, batch_format="pyarrow", batch_size=64)
+
+
+# ------------------------------------------------------- embeddings / ANN
+
+def _load_embeddings(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k similarity search: query matrix = embeddings
+    of vec_id < n_queries, broadcast once; per-batch numpy matmul; global
+    top-k per query via groupby. Matches the DuckDB list_cosine_similarity
+    oracle (cosine rounded to 5 dp; ties broken by neighbor_id)."""
+    emb = _load_embeddings(sf_dir)
+
+    q_rows = emb.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((q_ids, Qn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, Qn_ = ray.get(ref)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        e = batch["embedding"].combine_chunks()
+        V = np.asarray(e.values, dtype=np.float64).reshape(len(vec_id), -1)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        S = Qn_ @ Vn.T  # (q, n)
+        nq, n = S.shape
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, n), pa.int64()),
+            "neighbor_id": pa.array(np.tile(vec_id, nq), pa.int64()),
+            "cosine": pa.array(S.ravel(), pa.float64()),
+        })
+
+    scored = emb.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+    def topk(group: dict) -> dict:
+        qid = group["query_id"][0]
+        nid = np.asarray(group["neighbor_id"])
+        cos = np.asarray(group["cosine"])
+        mask = nid != qid
+        nid, cos = nid[mask], cos[mask]
+        order = np.lexsort((nid, -cos))[:k]
+        return {
+            "query_id": np.full(len(order), qid, dtype=np.int64),
+            "neighbor_id": nid[order].astype(np.int64),
+            "cosine": np.round(cos[order], 5),
+        }
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="numpy")
+
+
+def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) — the
+    embedding near-dup operator with an exact SQL oracle."""
+    emb = _load_embeddings(sf_dir)
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, Vn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_, Vn_ = ray.get(ref)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        L, R, C = [], [], []
+        for i in lo:
+            s = Vn_[i] @ Vn_[i + 1 :].T
+            hit = np.flatnonzero(s >= threshold)
+            for h in hit:
+                j = i + 1 + h
+                L.append(int(ids_[i])); R.append(int(ids_[j])); C.append(round(float(s[h]), 5))
+        return pa.table({
+            "left_id": pa.array(L, pa.int64()),
+            "right_id": pa.array(R, pa.int64()),
+            "cosine": pa.array(C, pa.float64()),
+        })
+
+    idx = ray.data.from_items([{"lo": i} for i in range(len(ids))])
+    return idx.map_batches(block, batch_format="pyarrow", batch_size=64)

@@ -1,0 +1,416 @@
+"""Relational operator-parity queries over the TPC-H-ish test tables.
+
+One query per operator family in SURVEY.md §2 (joins J1-J8, aggregations
+A1-A7, sorts/top-k O1-O6, set ops D1-D6, conditional maps M15-M19), each with
+an exact DuckDB oracle — proving the engine exposes the reference's full
+query surface, not just the dedup pipeline.
+
+Implementation notes:
+- small-side joins broadcast (ray.put + per-batch numpy/dict lookup, never a
+  shuffle — SURVEY.md J1/J2/J3/J7);
+- large×large joins use hash-partitioned Dataset.join (J4 fallback);
+- float aggregates are rounded identically in both engines so value-hash
+  comparison is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _key_set_ref(ds: "ray.data.Dataset", col: str):
+    """Broadcast the distinct key set of a column (semi/anti join small side)."""
+    keys = set()
+    for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        keys.update(b[col].to_pylist())
+    return ray.put(frozenset(keys))
+
+
+def _urgent_custkeys(sf_dir: str):
+    """Broadcast key set: customers holding >=1 URGENT order (the filtered
+    right side keeps both the anti and semi joins non-trivial)."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pa.array(np.asarray(t["o_orderpriority"].to_pylist()) == "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return _key_set_ref(ds, "o_custkey")
+
+
+def q_anti_join_customers_without_orders(sf_dir: str):
+    """J1 left-anti via broadcast key set: customers with no URGENT order
+    (ref remove_superseded_from_pds,
+    /root/reference/utils/dataset_ingestion_utils.py:38-62)."""
+    ref = _urgent_custkeys(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        m = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(m)).select(["c_custkey"])
+
+    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_semi_join_customers_with_orders(sf_dir: str):
+    """J7 left-semi via broadcast key set: customers with >=1 URGENT order
+    (ref left_semi filters,
+    /root/reference/notebooks_dedupe/blocking_evaluation_dedupe.py:137-149)."""
+    ref = _urgent_custkeys(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        m = [k in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(m)).select(["c_custkey"])
+
+    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_left_join_coalesce_remap(sf_dir: str):
+    """J2 left join + coalesce: remap orders to nation via a broadcast dim
+    lookup (ref update_superseded_nhs_numbers,
+    /root/reference/utils/dataset_ingestion_utils.py:66-103)."""
+    cust = {}
+    for b in _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow"):
+        ck = b["c_custkey"].to_pylist()
+        nk = b["c_nationkey"].to_pylist()
+        cust.update(zip(ck, nk))
+    ref = ray.put(cust)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nk = [lookup.get(k, -1) for k in batch["o_custkey"].to_pylist()]
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].combine_chunks(),
+            "nation_key": pa.array(nk, pa.int64()),
+        })
+
+    return _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_full_outer_nation_counts(sf_dir: str):
+    """J5 full outer + coalesce: per-nation customer count vs supplier count
+    (ref predictions ⟗ evaluation join, /root/reference/utils/model_utils.py:162-190)."""
+    nc = _t(sf_dir, "customer", ["c_nationkey"]).groupby("c_nationkey") \
+        .aggregate(Count(alias_name="n_cust"))
+    ns = _t(sf_dir, "supplier", ["s_nationkey"]).groupby("s_nationkey") \
+        .aggregate(Count(alias_name="n_supp"))
+    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+    from nhse_probabilistic_linkage_ray.config import DEFAULT_CONFIG
+
+    j = nc.join(ns, join_type="full_outer", num_partitions=join_partitions(DEFAULT_CONFIG),
+                on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # Ray's full-outer join coalesces the key into the left key column
+        ck = batch["c_nationkey"].combine_chunks().cast(pa.int64())
+        if "s_nationkey" in batch.column_names:
+            ck = pc.coalesce(ck, batch["s_nationkey"].combine_chunks().cast(pa.int64()))
+        return pa.table({
+            "nationkey": ck,
+            "n_cust": pc.coalesce(batch["n_cust"].combine_chunks().cast(pa.int64()), pa.scalar(0, pa.int64())),
+            "n_supp": pc.coalesce(batch["n_supp"].combine_chunks().cast(pa.int64()), pa.scalar(0, pa.int64())),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def q_orders_per_customer_histogram(sf_dir: str):
+    """A1 count-of-counts: orders per customer -> (n_orders, n_customers)
+    (ref value-count distribution, select_training_data_dedupe.py:45-48)."""
+    per = _t(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey") \
+        .aggregate(Count(alias_name="n_orders"))
+    return per.groupby("n_orders").aggregate(Count(alias_name="n_customers"))
+
+
+def q_lines_per_order_binned(sf_dir: str):
+    """A2 manual when-chain binning of per-key counts
+    (ref candidate-count bins, blocking_evaluation_dedupe.py:91-116)."""
+    per = _t(sf_dir, "lineitem", ["l_orderkey"]).groupby("l_orderkey") \
+        .aggregate(Count(alias_name="n_lines"))
+
+    def binit(batch: pa.Table) -> pa.Table:
+        n = batch["n_lines"].to_numpy(zero_copy_only=False)
+        lab = np.select([n <= 1, n <= 2, n <= 4, n <= 6], ["1", "2", "3-4", "5-6"], "7+")
+        return pa.table({"bin": pa.array(lab.tolist(), pa.string()),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    return per.map_batches(binit, batch_format="pyarrow").groupby("bin") \
+        .aggregate(Sum("one", alias_name="n_orders"))
+
+
+def q_supplier_listagg_per_nation(sf_dir: str):
+    """A3 list-valued aggregate: sorted CSV of supplier names per nation
+    (ref categorise_by_count_and_aggregate concat_ws(collect_list),
+    /root/reference/utils/eval_utils.py:524-587)."""
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(group["s_name"]))
+        return pd.DataFrame({"s_nationkey": [group["s_nationkey"].iloc[0]],
+                             "suppliers": [names]})
+
+    return _t(sf_dir, "supplier", ["s_nationkey", "s_name"]) \
+        .groupby("s_nationkey").map_groups(agg, batch_format="pandas")
+
+
+def q_confusion_matrix_one_pass(sf_dir: str):
+    """A4 one-pass per-threshold confusion counts: score = l_discount,
+    truth = (l_returnflag = 'R'). Single streaming pass of partial (threshold
+    x outcome) matrices — the design that replaces the reference's
+    4-counts-per-threshold jobs (utils/eval_utils.py:485-520, '~40 minutes')."""
+    th = np.array([0.02, 0.04, 0.06, 0.08], dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        truth = np.asarray(batch["l_returnflag"].to_pylist()) == "R"
+        above = d[None, :] >= th[:, None]
+        return pa.table({
+            "threshold": pa.array(th, pa.float64()),
+            "tp": pa.array((above & truth[None, :]).sum(axis=1), pa.int64()),
+            "fp": pa.array((above & ~truth[None, :]).sum(axis=1), pa.int64()),
+        })
+
+    return _t(sf_dir, "lineitem", ["l_discount", "l_returnflag"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("threshold").aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"))
+
+
+def q_discount_distribution(sf_dir: str):
+    """A5 value-distribution groupBy+count (ref match-weight distribution,
+    metrics_and_distributions_evaluation.py:101-105)."""
+    def prep(batch: pa.Table) -> pa.Table:
+        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({"discount": pa.array(d, pa.float64())})
+
+    return _t(sf_dir, "lineitem", ["l_discount"]).map_batches(prep, batch_format="pyarrow") \
+        .groupby("discount").aggregate(Count(alias_name="n"))
+
+
+def q_keep_latest_order_per_customer(sf_dir: str):
+    """A7 group-wise keep-latest (ref row_number over partitionBy orderBy
+    req_CREATED keep max, utils/dataset_ingestion_utils.py:562-572)."""
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
+        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]],
+                             "latest_orderkey": [g["o_orderkey"].iloc[0]]})
+
+    return _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]) \
+        .groupby("o_custkey").map_groups(latest, batch_format="pandas")
+
+
+def q_best_order_with_close_matches(sf_dir: str):
+    """O1 per-group top-1 + close-match count: best order by totalprice, plus
+    how many orders are within 5% of the best (ref get_best_match +
+    CLOSE_MATCHES_THRESHOLD, /root/reference/utils/model_utils.py:194-254)."""
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        top = g.iloc[0]
+        close = int((g["o_totalprice"] >= top["o_totalprice"] * 0.95).sum()) - 1
+        return pd.DataFrame({"o_custkey": [top["o_custkey"]],
+                             "best_orderkey": [top["o_orderkey"]],
+                             "n_close": [close]})
+
+    return _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .groupby("o_custkey").map_groups(best, batch_format="pandas")
+
+
+def q_hash_bucket_sample(sf_dir: str):
+    """O2 deterministic hash-bucket subsample (replaces the reference's
+    rand(seed) bucket, select_training_data_dedupe.py:58-65 — SURVEY.md O2
+    pins hash-based determinism)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % 50 == 1)).select(["o_orderkey"])
+
+    return _t(sf_dir, "orders", ["o_orderkey"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_top20_orders_by_price(sf_dir: str):
+    """O5 global sort + limit (ref ordered display sorts)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].combine_chunks(),
+            "o_totalprice": pa.array(
+                np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False), 2), pa.float64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def q_union_distinct_nationkeys(sf_dir: str):
+    """D3 union + D1 distinct."""
+    c = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    s = _t(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    return c.union(s).groupby("nationkey").aggregate(Count(alias_name="_c")) \
+        .select_columns(["nationkey"])
+
+
+def q_explode_embeddings(sf_dir: str):
+    """D5/D6 per-key explode of a list column (ref explode_pds cartesian,
+    /root/reference/utils/dataset_ingestion_utils.py:358-453)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        col = batch["embedding"].combine_chunks()
+        vals = np.asarray(col.values, dtype=np.float64)
+        offs = np.asarray(col.offsets)
+        counts = np.diff(offs)
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "val": pa.array(np.round(vals, 5), pa.float64()),
+        })
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.array(t["vec_id"].to_numpy(zero_copy_only=False) < 50)),
+        batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_agreement_patterns(sf_dir: str):
+    """M18 gamma-column concat (ref add_agreement_pattern,
+    /root/reference/utils/eval_utils.py:207-215; pattern contract incl. level
+    ordering pinned by tests/eval_tests.py:584-655)."""
+    from nhse_probabilistic_linkage_ray.stages.report import gamma_pattern_table
+
+    def gammas(batch: pa.Table) -> pa.Table:
+        rf = np.asarray(batch["l_returnflag"].to_pylist())
+        ls = np.asarray(batch["l_linestatus"].to_pylist())
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].combine_chunks(),
+            "l_linenumber": batch["l_linenumber"].combine_chunks(),
+            "gamma_return": pa.array(np.select([rf == "R", rf == "A"], [2, 1], 0).astype(np.int64)),
+            "gamma_status": pa.array((ls == "O").astype(np.int64)),
+            "gamma_qty": pa.array((q > 25).astype(np.int64)),
+        })
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag",
+                                 "l_linestatus", "l_quantity"]) \
+        .map_batches(gammas, batch_format="pyarrow")
+    return gamma_pattern_table(ds).select_columns(
+        ["l_orderkey", "l_linenumber", "agreement_pattern"])
+
+
+def q_filter_projection(sf_dir: str):
+    """M15/M16 vectorized predicate filter + projection."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rf = np.asarray(batch["l_returnflag"].to_pylist())
+        return batch.filter(pa.array((q >= 45) & (rf == "R"))) \
+            .select(["l_orderkey", "l_linenumber"])
+
+    return _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                                   "l_returnflag"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_tier_labels(sf_dir: str):
+    """M17 nested when/otherwise label derivation (ref GOLD/SILVER labels,
+    select_training_data_linking.py:101-120) via np.select."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        lab = np.select([p > 150_000, p > 50_000], ["GOLD", "SILVER"], "BRONZE")
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].combine_chunks(),
+            "label": pa.array(lab.tolist(), pa.string()),
+        })
+
+    return _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """J4-style large×large hash join via Dataset.join, then aggregate:
+    line count per order priority."""
+    from nhse_probabilistic_linkage_ray.config import DEFAULT_CONFIG
+    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.join(od, join_type="inner", num_partitions=join_partitions(DEFAULT_CONFIG),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.groupby("o_orderpriority").aggregate(Count(alias_name="n_lines"))
+
+
+def q_returnflag_totals(sf_dir: str):
+    """Pre-aggregated groupby (partial sums inside map_batches, then a small
+    groupby — the aggregation-at-scale pattern): qty + row totals per flag."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pylist(),
+            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("l_returnflag", as_index=False).agg(sum_qty=("qty", "sum"), n=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("l_returnflag").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"].combine_chunks(),
+            "sum_qty": pa.array(np.round(batch["sum_qty"].to_numpy(zero_copy_only=False), 2), pa.float64()),
+            "n": batch["n"].combine_chunks().cast(pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_hourly_event_counts(sf_dir: str):
+    """Streaming-shaped tumbling window: events per (event_type, hour).
+    Ray Data has no event-time windows (nor does the reference — SURVEY.md
+    'streaming-only features: none'); tumbling windows are groupby over the
+    truncated timestamp."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "hour": batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+        })
+        return out
+
+    return _t(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(fn, batch_format="pandas") \
+        .groupby(["event_type", "hour"]).aggregate(Count(alias_name="n"))
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windowing over the event log: per user, sessions split at
+    >30-minute gaps (ordering assumption: within-user sort by ts inside
+    map_groups — the engine's windowed-aggregate capability)."""
+
+    def sess(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    return _t(sf_dir, "events", ["user_id", "ts"]) \
+        .groupby("user_id").map_groups(sess, batch_format="pandas")
