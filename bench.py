@@ -1,0 +1,132 @@
+"""Benchmark harness.
+
+Headline: files/sec through the full near-duplicate detection + clustering
+pipeline over a deterministic synthetic source-code corpus (FIXTURES.md F1
+shape — the BASELINE.json input_hint), generated once and cached under /tmp.
+Plus per-query timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "files": n, "files_per_sec": r}
+
+--scaling: runs the headline job in two fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency — the
+sandbox proxy for the north rule's N -> 4N cluster-size criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_BASE = int(os.environ.get("GRAFT_BENCH_NBASE", "20000"))
+
+BENCH_QUERIES = [
+    "exact_dedup_groups",
+    "minhash_dedup_clusters",
+    "ann_cosine_topk",
+    "token_counts",
+    "join_lineitem_orders",
+    "returnflag_totals",
+    "keep_latest_order_per_customer",
+    "hourly_event_counts",
+]
+
+
+def corpus_path() -> str:
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_bench_corpus_nb{N_BASE}.parquet"
+    if not os.path.exists(path):
+        from nhse_probabilistic_linkage_ray.sources.corpus import generate_corpus
+
+        t = generate_corpus(n_base=N_BASE)
+        pq.write_table(t, path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from nhse_probabilistic_linkage_ray.config import PipelineConfig
+    from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+    from nhse_probabilistic_linkage_ray.pipelines.queries import queries as query_registry
+
+    path = corpus_path()
+    # warm the OS page cache so we measure compute + shuffle, not first read
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    files_ds = ray.data.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
+    n_files = files_ds.count()
+
+    t0 = time.time()
+    out = dedupe_dataset(files_ds, PipelineConfig())
+    n_clusters = out["clusters"].count()
+    headline = time.time() - t0
+
+    qtimes = {}
+    qs = query_registry()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "dedup pipeline seconds (synthetic code corpus) + per-query seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "files": n_files,
+        "rows_out": n_clusters,
+        "files_per_sec": round(n_files / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "files_per_sec_8": r_lo["files_per_sec"], "files_per_sec_32": r_hi["files_per_sec"],
+        "files": r_lo["files"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

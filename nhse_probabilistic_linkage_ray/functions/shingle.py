@@ -50,8 +50,13 @@ def token_hashes_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
     flat = [t for toks in tok_lists for t in toks]
     if not flat:
         return np.empty(0, dtype=_U64), offsets
-    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-    vocab_hashes = hash_strings_u64(uniq)
+    # C-speed vocabulary build: Arrow dictionary-encode the token stream,
+    # hash only the (small) dictionary, gather through the index column
+    import pyarrow as pa
+
+    enc = pa.array(flat, type=pa.string()).dictionary_encode()
+    vocab_hashes = hash_strings_u64(enc.dictionary.to_pylist())
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return vocab_hashes[inv], offsets
 
 

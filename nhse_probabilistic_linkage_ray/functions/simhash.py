@@ -6,6 +6,9 @@ The code-dedup analog of the reference's phonetic fuzzy-match features
 ``:211-212``): a compact per-record fingerprint under which *similar* inputs
 collide/differ-by-little. Used as a verification tier (Hamming distance <= h)
 and as a standalone near-dup dedup operator.
+
+Vectorization: bit-unpack the shingle hashes chunk-wise and reduce per-row
+with ``np.add.reduceat`` (never ``np.add.at`` — that is a scalar loop).
 """
 
 from __future__ import annotations
@@ -13,33 +16,48 @@ from __future__ import annotations
 import numpy as np
 
 _U64 = np.uint64
-_CHUNK = 2_000_000  # shingles per chunk: chunk x 64 int8 ~ 128 MB
+_CHUNK = 500_000  # shingles per chunk: chunk x 64 x int32 ≈ 128 MB
 
 
 def simhash(flat_shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """(rows,) uint64 SimHash from the flat per-row shingle layout: per bit,
-    sign of the sum of (2*bit-1) over the row's shingle hashes. Rows with no
-    shingles get 0."""
+    set iff ones strictly outnumber zeros over the row's shingle hashes.
+    Rows with no shingles get 0."""
     n_rows = len(offsets) - 1
     out = np.zeros(n_rows, dtype=_U64)
-    if len(flat_shingles) == 0:
+    if len(flat_shingles) == 0 or n_rows == 0:
         return out
-    shifts = np.arange(64, dtype=_U64)
+
     counts = np.diff(offsets)
-    totals = np.zeros((n_rows, 64), dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty) == 0:
+        return out
+    totals = np.zeros((len(nonempty), 64), dtype=np.int64)
 
-    # chunked bit-unpack; accumulate per-row bit sums with add.reduceat
-    row_of = np.repeat(np.arange(n_rows), counts)
-    for lo in range(0, len(flat_shingles), _CHUNK):
-        hi = min(lo + _CHUNK, len(flat_shingles))
-        bits = ((flat_shingles[lo:hi, None] >> shifts[None, :]) & _U64(1)).astype(np.int8)
-        np.add.at(totals, row_of[lo:hi], bits)
+    # chunk by ranges of nonempty rows so reduceat offsets stay in-chunk
+    start = 0
+    while start < len(nonempty):
+        end = start
+        total = 0
+        while end < len(nonempty) and (total == 0 or total + counts[nonempty[end]] <= _CHUNK):
+            total += counts[nonempty[end]]
+            end += 1
+        rows = nonempty[start:end]
+        lo, hi = offsets[rows[0]], offsets[rows[-1] + 1]
+        seg = np.ascontiguousarray(flat_shingles[lo:hi])
+        # C-speed bit matrix: uint64 -> 8 bytes -> 64 bits per shingle
+        # (bit order within bytes is arbitrary but consistent everywhere)
+        bits = np.unpackbits(seg.view(np.uint8).reshape(len(seg), 8), axis=1)
+        local_offsets = (offsets[rows] - lo).astype(np.int64)
+        # reduceat along the transposed view with an int32 accumulator is the
+        # fast path (axis-0 reduceat on the (n, 64) layout is ~40x slower)
+        totals[start:end] = np.add.reduceat(bits.T, local_offsets, axis=1, dtype=np.int32).T
+        start = end
 
-    # sign: bit set iff ones outnumber zeros (strictly, for determinism)
-    nhalf = counts[:, None]  # ones*2 > count  <=>  sum(2b-1) > 0
-    bitmat = (totals * 2 > nhalf) & (counts[:, None] > 0)
+    ne_counts = counts[nonempty][:, None]
+    bitmat = totals * 2 > ne_counts  # strict majority, deterministic
     weights = (_U64(1) << np.arange(64, dtype=_U64))[None, :]
-    out = (bitmat.astype(_U64) * weights).sum(axis=1, dtype=_U64)
+    out[nonempty] = (bitmat.astype(_U64) * weights).sum(axis=1, dtype=_U64)
     return out
 
 

@@ -52,43 +52,26 @@ def _dup_edges(scored_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray.da
     return scored_ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _ensure_blocks(ds: "ray.data.Dataset", target: int) -> "ray.data.Dataset":
-    """Split a materialized dataset into at least ``target`` blocks so actor
-    pools downstream can parallelize (no-op when already wide; never coalesces
-    a large run's natural block count)."""
-    try:
-        nb = ds.num_blocks()
-    except Exception:
-        return ds
-    if nb is not None and nb < target:
-        return ds.repartition(target)
-    return ds
-
-
-def _pool_width() -> int:
-    import ray as _ray
-
-    return int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-
-
 def dedupe_dataset(
     files_ds: "ray.data.Dataset", config: PipelineConfig | None = None
 ) -> dict:
     """In-memory pipeline. Returns dict of Datasets:
     clusters (file-level assignment), scored_pairs, signatures, exact_mapped."""
+    from nhse_probabilistic_linkage_ray.stages.util import cluster_cpus, ensure_blocks
+
     config = config or PipelineConfig()
 
     ingested = ingest_stage(files_ds, config)
     mapped = exact_group_stage(ingested, config)
     # the mapped table is consumed by three branches — materialize ONCE
-    mapped = _ensure_blocks(mapped.materialize(), 2 * _pool_width()).materialize()
+    mapped = ensure_blocks(mapped.materialize())
 
     reps = representatives(mapped)
-    sigs = signature_stage(reps, config).materialize()
+    sigs = ensure_blocks(signature_stage(reps, config).materialize())
 
     # materialize the (narrow) pair list before the scorer's actor pool spins
     # up — the pool and the pair-generation shuffle must not contend for CPUs
-    pairs = _ensure_blocks(candidate_pairs(sigs, config).materialize(), _pool_width())
+    pairs = ensure_blocks(candidate_pairs(sigs, config).materialize(), cluster_cpus())
     scored = score_stage(pairs, sigs, config).materialize()
 
     edges = _dup_edges(scored, config).union(exact_edges(mapped))

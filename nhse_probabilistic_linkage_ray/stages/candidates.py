@@ -89,11 +89,50 @@ def _emit_pairs(group: dict, max_band_group: int, max_pairs: int) -> dict:
     }
 
 
+def colliding_band_hashes(bands: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(band_hash, n_members) for hashes shared by >= 2 files. The vast
+    majority of band buckets are singletons that can never produce a pair;
+    filtering them out BEFORE the per-group pair emission turns millions of
+    useless map_groups calls into one vectorized aggregate. Band hashes
+    already encode the band index (minhash.band_hashes mixes it in), so a
+    single int64 key suffices."""
+    from ray.data.aggregate import Count
+
+    counts = bands.select_columns(["band_hash"]).groupby("band_hash") \
+        .aggregate(Count(alias_name="n_members"))
+    return counts.map_batches(
+        lambda t: t.filter(pa.array(t["n_members"].to_numpy(zero_copy_only=False) >= 2)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray.data.Dataset":
     """signatures -> deduped candidate pairs
-    (left_id, right_id, match_key=min band, capped)."""
-    bands = band_explode(signatures_ds, config)
-    raw_pairs = bands.groupby(["band_idx", "band_hash"]).map_groups(
+    (left_id, right_id, match_key=min band, capped).
+
+    Collision-hash handling: the colliding-hash set is broadcast via ray.put
+    (it is proportional to the candidate volume, not the corpus). At scales
+    where even that set outgrows worker memory, swap the broadcast filter for
+    a semi-join of bands against colliding_band_hashes — the surrounding
+    plan is unchanged."""
+    from nhse_probabilistic_linkage_ray.stages.util import ensure_blocks
+
+    bands = ensure_blocks(band_explode(signatures_ds, config).materialize())
+    colliding = colliding_band_hashes(bands)
+    hash_set = set()
+    for b in colliding.iter_batches(batch_format="pyarrow"):
+        hash_set.update(b["band_hash"].to_pylist())
+    import ray as _ray
+
+    ref = _ray.put(frozenset(hash_set))
+
+    def keep_colliding(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(ref)
+        bh = batch["band_hash"].to_pylist()
+        return batch.filter(pa.array([h in keys for h in bh]))
+
+    hot = bands.map_batches(keep_colliding, batch_format="pyarrow", zero_copy_batch=True)
+    raw_pairs = hot.groupby("band_hash").map_groups(
         _emit_pairs,
         fn_kwargs={"max_band_group": config.max_band_group,
                    "max_pairs": config.max_pairs_per_band_group},
