@@ -57,7 +57,21 @@ def dedupe_dataset(
 ) -> dict:
     """In-memory pipeline. Returns dict of Datasets:
     clusters (file-level assignment), scored_pairs, signatures, exact_mapped."""
+    import os
+    import sys
+    import time
+
     from nhse_probabilistic_linkage_ray.stages.util import cluster_cpus, ensure_blocks
+
+    profile = os.environ.get("GRAFT_PROFILE")
+    t0 = time.time()
+
+    def mark(name):
+        nonlocal t0
+        if profile:
+            print(f"[dedupe] {name}: {time.time() - t0:.1f}s", file=sys.stderr)
+            sys.stderr.flush()
+        t0 = time.time()
 
     config = config or PipelineConfig()
 
@@ -65,17 +79,29 @@ def dedupe_dataset(
     mapped = exact_group_stage(ingested, config)
     # the mapped table is consumed by three branches — materialize ONCE
     mapped = ensure_blocks(mapped.materialize())
+    n_rows = mapped.count()  # metadata on a materialized dataset — free
+    mark("ingest+exact")
 
+    # mapped is already >= 2x-CPUs blocks (ensure_blocks) — the signature pool
+    # inherits that width; an extra repartition here fuses into the same
+    # execution as the actor pool and measurably serializes it
     reps = representatives(mapped)
-    sigs = ensure_blocks(signature_stage(reps, config).materialize())
+    sigs = ensure_blocks(signature_stage(reps, config, rows_hint=n_rows).materialize())
+    mark("signature")
 
     # materialize the (narrow) pair list before the scorer's actor pool spins
     # up — the pool and the pair-generation shuffle must not contend for CPUs
     pairs = ensure_blocks(candidate_pairs(sigs, config).materialize(), cluster_cpus())
-    scored = score_stage(pairs, sigs, config).materialize()
+    n_pairs = pairs.count()
+    mark("candidates")
+    scored = score_stage(pairs, sigs, config, signature_rows=sigs.count(),
+                         pairs_hint=n_pairs).materialize()
+    mark("score")
 
     edges = _dup_edges(scored, config).union(exact_edges(mapped))
-    components = connected_components(edges, config)
+    # raw edge count is bounded by pairs + exact members — known without a job
+    components = connected_components(edges, config, size_hint=n_pairs + n_rows)
+    mark("cluster")
     all_ids = mapped.select_columns(["file_id", "repo", "path", "commit", "lang",
                                      "content_sha256", "rep_id"])
     clusters = assign_clusters(all_ids, components, config)

@@ -1,0 +1,154 @@
+"""Fellegi-Sunter parameter estimation — the training phase.
+
+Parity with the reference's Splink training notebooks (SURVEY.md A8/A9/A10,
+``/root/reference/notebooks_dedupe/training_dedupe.py``):
+
+- ``estimate_u``: random-pair sampling capped at ``max_pairs``
+  (ref ``estimate_u_using_random_sampling(max_pairs=1e8)``, :105). Sampling is
+  hash-deterministic (SURVEY.md O2: no order-dependent RNG).
+- ``estimate_m_em``: expectation-maximisation over candidate pairs
+  (ref ``estimate_parameters_using_expectation_maximisation``, :112-129).
+  Key simplification our tiered model affords: p(match | gamma) is identical
+  for every pair with the same gamma, so after ONE distributed gamma
+  histogram the EM loop is pure driver-side arithmetic over 5 bins — no
+  per-iteration cluster jobs (the reference launches one Spark job per EM
+  round).
+- ``average_m_values``: mean m across models + the reference's clamping rules
+  (m=0 -> 1e-6, u -> 1e-9, renormalize; ref ``utils/model_utils.py:35-103``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count
+
+from nhse_probabilistic_linkage_ray.config import PipelineConfig
+from nhse_probabilistic_linkage_ray.functions.hashing import stable_bucket
+
+
+def sample_random_pairs(
+    signatures_ds: "ray.data.Dataset", config: PipelineConfig, max_pairs: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Deterministic pseudo-random record pairs: two hash-bucket samples of
+    the id space, crossed. Sample sizes chosen so s1*s2 <= max_pairs."""
+    ids = []
+    for b in signatures_ds.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
+        ids.append(b["file_id"].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    n = len(ids)
+    if n < 2:
+        return ray.data.from_arrow(pa.table({"left_id": pa.array([], pa.int64()),
+                                             "right_id": pa.array([], pa.int64()),
+                                             "match_key": pa.array([], pa.int32()),
+                                             "capped": pa.array([], pa.uint8())}))
+    s = max(2, min(n, int(math.isqrt(max_pairs))))
+    k = max(1, n // s)
+    a = ids[stable_bucket(ids, k) == 0][:s]
+    b = ids[stable_bucket(ids + 1, k) == 0][:s]
+    li, ri = np.meshgrid(a, b, indexing="ij")
+    li, ri = li.ravel(), ri.ravel()
+    mask = li < ri
+    li, ri = li[mask], ri[mask]
+    t = pa.table({
+        "left_id": pa.array(li, pa.int64()),
+        "right_id": pa.array(ri, pa.int64()),
+        "match_key": pa.array(np.full(len(li), -1, np.int32)),
+        "capped": pa.array(np.zeros(len(li), np.uint8)),
+    })
+    return ray.data.from_arrow(t)
+
+
+def gamma_histogram(scored_ds: "ray.data.Dataset") -> dict:
+    """{gamma: count} via one distributed aggregate."""
+    agg = scored_ds.select_columns(["gamma"]).groupby("gamma").aggregate(Count(alias_name="n"))
+    return {int(r["gamma"]): int(r["n"]) for r in agg.take_all()}
+
+
+def estimate_u(
+    signatures_ds: "ray.data.Dataset", config: PipelineConfig, max_pairs: int = 1_000_000
+) -> tuple:
+    """u probabilities = tier frequencies among (overwhelmingly non-match)
+    random pairs; zero-count tiers fall to the clamping floor."""
+    from nhse_probabilistic_linkage_ray.stages.score import score_stage
+
+    pairs = sample_random_pairs(signatures_ds, config, max_pairs)
+    scored = score_stage(pairs, signatures_ds, config)
+    hist = gamma_histogram(scored)
+    total = sum(v for g, v in hist.items() if g >= 0)
+    u = [hist.get(g, 0) / total if total else 0.0 for g in range(5)]
+    return tuple(u)
+
+
+def estimate_m_em(
+    gamma_hist: dict,
+    config: PipelineConfig,
+    *,
+    iterations: int = 30,
+    tol: float = 1e-8,
+) -> tuple:
+    """EM over the gamma histogram of CANDIDATE pairs. Returns (m, u, prior).
+    Driver-side by design: the sufficient statistics are 5 counts."""
+    m, u = list(config.clamped_mu()[0]), list(config.clamped_mu()[1])
+    counts = {g: c for g, c in gamma_hist.items() if g >= 0}
+    total = sum(counts.values())
+    if total == 0:
+        return tuple(m), tuple(u), config.prior
+    # initialize the prior from the strong-agreement fraction of the CANDIDATE
+    # pairs (blocked pairs are match-enriched; starting from the corpus-level
+    # prior collapses EM into the all-non-match local optimum)
+    strong = sum(c for g, c in counts.items() if g >= 2)
+    prior = min(max(strong / total, config.prior, 1e-4), 1 - 1e-6)
+    for _ in range(iterations):
+        # E: responsibility per gamma bin
+        resp = {}
+        for g, c in counts.items():
+            pm = prior * m[g]
+            pu = (1 - prior) * u[g]
+            resp[g] = pm / (pm + pu) if pm + pu > 0 else 0.0
+        # M: weighted frequencies
+        wm = sum(resp[g] * c for g, c in counts.items())
+        wu = sum((1 - resp[g]) * c for g, c in counts.items())
+        new_prior = min(max(wm / total, 1e-12), 1 - 1e-12)
+        new_m = [max((resp.get(g, 0.0) * counts.get(g, 0)) / wm if wm else m[g], 1e-6) for g in range(5)]
+        new_u = [max(((1 - resp.get(g, 0.0)) * counts.get(g, 0)) / wu if wu else u[g], 1e-9) for g in range(5)]
+        sm = sum(new_m)
+        new_m = [x / sm for x in new_m]
+        delta = abs(new_prior - prior) + sum(abs(a - b) for a, b in zip(new_m, m))
+        m, u, prior = new_m, new_u, new_prior
+        if delta < tol:
+            break
+    return tuple(m), tuple(u), prior
+
+
+def average_m_values(models: list) -> tuple:
+    """Mean m per tier across models + reference clamping
+    (ref utils/model_utils.py:35-103: m=0 -> 1e-6, NaN u -> 1e-9, sum(m)=1)."""
+    ms = np.array([mod if not isinstance(mod, PipelineConfig) else mod.m_probabilities
+                   for mod in models], dtype=np.float64)
+    mean = np.nanmean(ms, axis=0)
+    mean = np.where(np.isnan(mean) | (mean == 0), 1e-6, mean)
+    mean = mean / mean.sum()
+    return tuple(float(x) for x in mean)
+
+
+def train_config(
+    signatures_ds: "ray.data.Dataset",
+    scored_pairs_ds: "ray.data.Dataset",
+    config: PipelineConfig,
+    *,
+    max_u_pairs: int = 1_000_000,
+) -> PipelineConfig:
+    """Full training pass: u from random pairs, (m, prior) from EM over the
+    candidate-pair gamma histogram; returns a new config (the 'model')."""
+    u = estimate_u(signatures_ds, config, max_u_pairs)
+    u = tuple(x if x > 0 else 1e-9 for x in u)
+    hist = gamma_histogram(scored_pairs_ds)
+    cfg_u = dataclasses.replace(config, u_probabilities=u)
+    m, u2, prior = estimate_m_em(hist, cfg_u)
+    return dataclasses.replace(config, m_probabilities=m, u_probabilities=u2, prior=prior)

@@ -1,0 +1,69 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Parity with the reference's ``run_pipeline.py`` notebook driver
+(``/root/reference/run_pipeline.py:16-84``: mode + serialized params -> child
+notebooks): here each stage is a module-level function of (config, paths) and
+the CLI drives the checkpointed pipeline.
+
+Usage:
+    python -m nhse_probabilistic_linkage_ray.run \
+        --input /data/files_parquet --workdir /data/run1 \
+        [--config cfg.json] [--no-resume] [--save-model STORE --description D]
+
+    ray job submit --working-dir . -- python -m nhse_probabilistic_linkage_ray.run ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Ray-Data-native code dedup pipeline")
+    ap.add_argument("--input", required=True, help="Parquet files table (repo,path,commit,lang,content)")
+    ap.add_argument("--workdir", required=True, help="checkpoint + output directory")
+    ap.add_argument("--config", help="PipelineConfig JSON file (default: defaults)")
+    ap.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
+    ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: autodetect)")
+    ap.add_argument("--save-model", help="model store dir to record the config in")
+    ap.add_argument("--description", default="", help="model description for --save-model")
+    args = ap.parse_args(argv)
+
+    from nhse_probabilistic_linkage_ray.config import PipelineConfig
+
+    if args.config:
+        with open(args.config) as f:
+            config = PipelineConfig.from_json(f.read())
+    else:
+        config = PipelineConfig()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
+
+    out = run_dedupe(args.input, args.workdir, config, resume=not args.no_resume)
+    n = out["clusters"].count()
+    print(json.dumps({"workdir": args.workdir, "config_hash": config.config_hash,
+                      "rows": n}))
+
+    if args.save_model:
+        from nhse_probabilistic_linkage_ray.sources.model_store import save_model
+
+        path = save_model(args.save_model, config, args.description)
+        print(json.dumps({"model_saved": path}))
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

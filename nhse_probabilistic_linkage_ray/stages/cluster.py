@@ -123,12 +123,17 @@ DRIVER_CC_EDGE_LIMIT = 2_000_000
 
 
 def connected_components(
-    edges_ds: "ray.data.Dataset", config: PipelineConfig, *, mode: str = "auto"
+    edges_ds: "ray.data.Dataset",
+    config: PipelineConfig,
+    *,
+    mode: str = "auto",
+    size_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Edge Dataset (u, v) -> assignment Dataset (file_id, cluster_id).
 
-    mode='auto' counts the deduped edge set first: a provably small graph
-    (< DRIVER_CC_EDGE_LIMIT edges) is solved with a driver union-find — the
+    mode='auto': a provably small graph (< DRIVER_CC_EDGE_LIMIT raw edges,
+    established from ``size_hint`` when the caller already knows its pair
+    counts, else by counting) is solved with a driver union-find — the
     pattern the Ray Data guidance endorses for small candidate sets — while
     anything larger runs the distributed star passes. mode='distributed' /
     'driver' force a path (tests exercise both). The two paths produce
@@ -136,26 +141,30 @@ def connected_components(
 
     Materializes the edge set between rounds (it is the small derived table of
     the pipeline — never the input corpus)."""
-    cur = _dedup_edges(edges_ds).materialize()
     if mode == "auto":
-        mode = "driver" if cur.count() <= DRIVER_CC_EDGE_LIMIT else "distributed"
+        n = size_hint if size_hint is not None else _dedup_edges(edges_ds).materialize().count()
+        mode = "driver" if n <= DRIVER_CC_EDGE_LIMIT else "distributed"
     if mode == "driver":
         import pyarrow as _pa
 
         from nhse_probabilistic_linkage_ray.state.union_find import UnionFind
 
+        # stream raw edges straight into the union-find (it dedups inherently
+        # — no pre-dedup shuffle needed on this path)
         uf = UnionFind()
-        for batch in cur.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
             for i in range(len(u)):
-                uf.union(int(u[i]), int(v[i]))
+                if u[i] != v[i]:
+                    uf.union(int(u[i]), int(v[i]))
         comp = uf.components()
         t = _pa.table({
             "file_id": _pa.array(list(comp.keys()), _pa.int64()),
             "cluster_id": _pa.array(list(comp.values()), _pa.int64()),
         })
         return ray.data.from_arrow(t)
+    cur = _dedup_edges(edges_ds).materialize()
     prev_stats = _edge_stats(cur)
     for _ in range(config.max_cc_iterations):
         cur = _dedup_edges(_large_star(cur)).materialize()
@@ -182,13 +191,47 @@ def connected_components(
     return out.groupby("file_id").aggregate(Min("cluster_id", alias_name="cluster_id"))
 
 
+COMPONENT_BROADCAST_LIMIT = 5_000_000
+
+
 def assign_clusters(
-    all_ids_ds: "ray.data.Dataset", components_ds: "ray.data.Dataset", config: PipelineConfig
+    all_ids_ds: "ray.data.Dataset",
+    components_ds: "ray.data.Dataset",
+    config: PipelineConfig,
+    *,
+    components_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Left-join every file_id against the component map; unmatched files are
     their own singleton cluster (contract parity with find_connected_ids +
     the full-table join at
-    /root/reference/notebooks_dedupe/select_training_data_dedupe.py:111)."""
+    /root/reference/notebooks_dedupe/select_training_data_dedupe.py:111).
+
+    The component map is proportional to the DUPLICATED subset, not the
+    corpus — when provably small it is broadcast (ray.put once, dict lookup
+    per batch, no shuffle); otherwise a hash-partitioned left-outer join."""
+    n = components_hint
+    if n is None:
+        try:
+            n = components_ds.count()
+        except Exception:
+            n = None
+    if n is not None and n <= COMPONENT_BROADCAST_LIMIT:
+        comp = {}
+        for b in components_ds.iter_batches(batch_format="pyarrow"):
+            f = b["file_id"].to_numpy(zero_copy_only=False)
+            c = b["cluster_id"].to_numpy(zero_copy_only=False)
+            comp.update(zip(f.tolist(), c.tolist()))
+        ref = ray.put(comp)
+
+        def fill_bcast(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            fid = batch["file_id"].to_numpy(zero_copy_only=False)
+            cl = np.fromiter((lookup.get(int(x), int(x)) for x in fid),
+                             dtype=np.int64, count=len(fid))
+            return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
+
+        return all_ids_ds.map_batches(fill_bcast, batch_format="pyarrow", zero_copy_batch=True)
+
     joined = all_ids_ds.join(
         components_ds, join_type="left_outer",
         num_partitions=join_partitions(config), on=("file_id",),

@@ -154,6 +154,7 @@ def score_stage(
     *,
     strategy: str = "auto",
     signature_rows: int | None = None,
+    pairs_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Candidate pairs + signatures -> scored pairs."""
     if strategy == "auto":
@@ -169,14 +170,18 @@ def score_stage(
         features = _features_to_dict(tbl, config.num_perms)
         ref = ray.put(features)
         # half the CPUs: pair generation (sort + aggregate + emit) runs
-        # concurrently upstream in the same streaming plan
+        # concurrently upstream in the same streaming plan; capped by the
+        # work available so tiny pair lists don't pay big pool startups
         cpus = int(ray.cluster_resources().get("CPU", 8))
+        pool = max(2, cpus // 2)
+        if pairs_hint is not None:
+            pool = max(2, min(pool, -(-pairs_hint // 4096)))
         return pairs_ds.map_batches(
             PairScorer,
             fn_constructor_args=(config.to_json(), ref),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=max(2, cpus // 2),
+            concurrency=pool,
             num_cpus=1,
             zero_copy_batch=True,
         )

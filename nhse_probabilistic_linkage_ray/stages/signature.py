@@ -71,9 +71,13 @@ class SignatureActor:
         })
 
 
-def signature_stage(reps_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray.data.Dataset":
+def signature_stage(
+    reps_ds: "ray.data.Dataset", config: PipelineConfig, *, rows_hint: int | None = None
+) -> "ray.data.Dataset":
     """Representatives -> signatures. Actor pool sized to the cluster's CPUs
-    so throughput scales with cluster size (the N -> 4N criterion)."""
+    (so throughput scales with cluster size, the N -> 4N criterion) and capped
+    by the work available (rows_hint) so small runs don't pay 30 actor
+    startups for 9 batches."""
     if config.signature_concurrency > 0:
         pool = config.signature_concurrency
     else:
@@ -81,6 +85,8 @@ def signature_stage(reps_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray
         # that reserves every CPU starves its own input and deadlocks
         cpus = int(ray.cluster_resources().get("CPU", 8))
         pool = max(2, cpus - 2)
+        if rows_hint is not None:
+            pool = max(2, min(pool, -(-rows_hint // config.batch_size)))
     return reps_ds.map_batches(
         SignatureActor,
         fn_constructor_args=(config.to_json(),),
