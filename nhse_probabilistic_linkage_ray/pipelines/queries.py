@@ -75,6 +75,14 @@ REGISTRY: dict = {
           WHERE q.vec_id < 5
         ) WHERE rk <= 10
     """),
+    "ann_ivf_topk": (
+        # IVF approximate path — recall vs the brute-force baseline is pinned
+        # by tests/test_arrays_similarity.py; rows-only for the driver
+        (lambda sf_dir: __import__(
+            "nhse_probabilistic_linkage_ray.pipelines.similarity",
+            fromlist=["ann_ivf_topk"]).ann_ivf_topk(sf_dir)),
+        None,
+    ),
     "embedding_near_dup_pairs": (qd.q_embedding_near_dup_pairs, """
         SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine

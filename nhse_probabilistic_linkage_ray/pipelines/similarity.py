@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column.
+
+Two paths, per the engine charter:
+
+- **brute force** (queries_dedup.q_ann_cosine_topk): broadcast query matrix,
+  per-batch numpy matmul, global top-k — exact, O(N) per query batch. The
+  baseline and the oracle for the approximate path.
+- **IVF** (this module): coarse k-means centroids trained driver-side on a
+  deterministic sample, vectors assigned to their nearest centroid with one
+  broadcast map_batches pass (this is the partitioning an at-scale deployment
+  would persist as Parquet partitions), queries probe only the ``nprobe``
+  nearest centroid partitions. Approximate: recall vs brute force is pinned
+  by tests, not exact equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _embeddings_matrix(ds: "ray.data.Dataset") -> tuple:
+    ids, vecs = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        col = b["embedding"].combine_chunks()
+        vecs.append(np.asarray(col.values, dtype=np.float64).reshape(len(b), -1))
+    return np.concatenate(ids), np.vstack(vecs)
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (deterministic seed).
+    The sample is small by construction; training never sees the full table."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(n_centroids, n)
+    centroids = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(emb_ds: "ray.data.Dataset", centroids: np.ndarray) -> "ray.data.Dataset":
+    """Add a ``centroid`` column: nearest centroid per vector (broadcast
+    centroids, vectorized per batch). At scale this column becomes the
+    Parquet partition key of the index layout."""
+    ref = ray.put(centroids)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        col = batch["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(batch), -1)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column("centroid", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_limit: int = 2048,
+):
+    """IVF approximate top-k over the embeddings table. Same output schema as
+    the brute-force query (query_id, neighbor_id, cosine)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sample_ids, sample = _embeddings_matrix(emb.limit(sample_limit))
+    centroids = train_centroids(sample, n_centroids)
+
+    assigned = ivf_assign(emb, centroids).materialize()
+
+    q_rows = assigned.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+
+    # probe lists: nprobe nearest centroids per query
+    dq = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :nprobe]          # (q, nprobe)
+    probe_union = set(int(c) for c in probes.ravel())
+    qref = ray.put((q_ids, Qn, probes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, Qn_, probes_ = ray.get(qref)
+        cent = batch["centroid"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cent, list(probe_union))
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sub = batch.filter(pa.array(keep))
+        cent = cent[keep]
+        vid = sub["vec_id"].to_numpy(zero_copy_only=False)
+        col = sub["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(sub), -1)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(cent, probes_[qi])
+            if not mask.any():
+                continue
+            s = Qn_[qi] @ Vn[mask].T
+            out_q.append(np.full(mask.sum(), qids[qi], dtype=np.int64))
+            out_n.append(vid[mask].astype(np.int64))
+            out_c.append(s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    scored = assigned.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+    def topk(group: dict) -> dict:
+        qid = group["query_id"][0]
+        nid = np.asarray(group["neighbor_id"])
+        cos = np.asarray(group["cosine"])
+        mask = nid != qid
+        nid, cos = nid[mask], cos[mask]
+        order = np.lexsort((nid, -cos))[:k]
+        return {
+            "query_id": np.full(len(order), qid, dtype=np.int64),
+            "neighbor_id": nid[order].astype(np.int64),
+            "cosine": np.round(cos[order], 5),
+        }
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="numpy")

@@ -106,38 +106,118 @@ def colliding_band_hashes(bands: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _emit_segment(fid: np.ndarray, band_idx: int, max_band_group: int, max_pairs: int):
+    """Pairs for one complete (band_hash) segment; star + cap above limits."""
+    fid = np.sort(fid)
+    n = len(fid)
+    if n <= max_band_group and n * (n - 1) // 2 <= max_pairs:
+        li, ri = np.triu_indices(n, k=1)
+        return fid[li], fid[ri], np.zeros(n * (n - 1) // 2, dtype=np.uint8), band_idx
+    return np.full(n - 1, fid[0], dtype=np.int64), fid[1:], np.ones(n - 1, dtype=np.uint8), band_idx
+
+
+def _scan_sorted_block(batch: pa.Table, max_band_group: int, max_pairs: int) -> pa.Table:
+    """One block of the band table, globally sorted by band_hash. Interior
+    key-segments are complete (sort range-partitions by key), so their pairs
+    are emitted vectorized here; rows of the block's first and last key are
+    DEFERRED (tag=1, they may straddle blocks) to a tiny second pass.
+    Singleton interior keys cost one numpy comparison — never a Python call
+    (the overwhelmingly common case: most band hashes are unique)."""
+    n = len(batch)
+    empty = pa.table({
+        "left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64()),
+        "match_key": pa.array([], pa.int32()), "capped": pa.array([], pa.uint8()),
+        "tag": pa.array([], pa.uint8()),
+    })
+    if n == 0:
+        return empty
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    fid = batch["file_id"].to_numpy(zero_copy_only=False)
+    bidx = batch["band_idx"].to_numpy(zero_copy_only=False)
+
+    # rows belonging to the first / last key in this block -> deferred
+    defer_mask = (bh == bh[0]) | (bh == bh[-1])
+    L, R, K, C = [], [], [], []
+    interior = ~defer_mask
+    if interior.any():
+        ibh = bh[interior]
+        ifid = fid[interior]
+        ibidx = bidx[interior]
+        # segment boundaries among interior rows (sorted by key)
+        bounds = np.flatnonzero(np.diff(ibh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(ibh)]))
+        multi = np.flatnonzero(ends - starts >= 2)
+        for s in multi:
+            l, r, c, k = _emit_segment(ifid[starts[s]:ends[s]], int(ibidx[starts[s]]),
+                                       max_band_group, max_pairs)
+            L.append(l); R.append(r); C.append(c)
+            K.append(np.full(len(l), k, dtype=np.int32))
+    pair_tbl = pa.table({
+        "left_id": pa.array(np.concatenate(L) if L else np.empty(0, np.int64), pa.int64()),
+        "right_id": pa.array(np.concatenate(R) if R else np.empty(0, np.int64), pa.int64()),
+        "match_key": pa.array(np.concatenate(K) if K else np.empty(0, np.int32), pa.int32()),
+        "capped": pa.array(np.concatenate(C) if C else np.empty(0, np.uint8), pa.uint8()),
+        "tag": pa.array(np.zeros(sum(len(x) for x in L), np.uint8), pa.uint8()),
+    })
+    # deferred band rows ride along in the same schema:
+    # (left_id=file_id, right_id=band_hash, match_key=band_idx, tag=1)
+    d = np.flatnonzero(defer_mask)
+    defer_tbl = pa.table({
+        "left_id": pa.array(fid[d], pa.int64()),
+        "right_id": pa.array(bh[d], pa.int64()),
+        "match_key": pa.array(bidx[d].astype(np.int32), pa.int32()),
+        "capped": pa.array(np.zeros(len(d), np.uint8), pa.uint8()),
+        "tag": pa.array(np.ones(len(d), np.uint8), pa.uint8()),
+    })
+    return pa.concat_tables([pair_tbl, defer_tbl])
+
+
 def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -> "ray.data.Dataset":
     """signatures -> deduped candidate pairs
     (left_id, right_id, match_key=min band, capped).
 
-    Collision-hash handling: the colliding-hash set is broadcast via ray.put
-    (it is proportional to the candidate volume, not the corpus). At scales
-    where even that set outgrows worker memory, swap the broadcast filter for
-    a semi-join of bands against colliding_band_hashes — the surrounding
-    plan is unchanged."""
+    ONE global sort of the narrow band table is the central shuffle (this is
+    the scalable layout at 10^12 files: 20-byte rows, range-partitioned by
+    band_hash); pairs are then emitted by a vectorized segment scan per
+    sorted block. Only the ~2 keys per block that may straddle block
+    boundaries take a (tiny) groupby second pass — no driver-side state, no
+    per-singleton-group Python calls."""
     from nhse_probabilistic_linkage_ray.stages.util import ensure_blocks
 
     bands = ensure_blocks(band_explode(signatures_ds, config).materialize())
-    colliding = colliding_band_hashes(bands)
-    hash_set = set()
-    for b in colliding.iter_batches(batch_format="pyarrow"):
-        hash_set.update(b["band_hash"].to_pylist())
-    import ray as _ray
-
-    ref = _ray.put(frozenset(hash_set))
-
-    def keep_colliding(batch: pa.Table) -> pa.Table:
-        keys = _ray.get(ref)
-        bh = batch["band_hash"].to_pylist()
-        return batch.filter(pa.array([h in keys for h in bh]))
-
-    hot = bands.map_batches(keep_colliding, batch_format="pyarrow", zero_copy_batch=True)
-    raw_pairs = hot.groupby("band_hash").map_groups(
-        _emit_pairs,
+    scanned = bands.sort("band_hash").map_batches(
+        _scan_sorted_block,
         fn_kwargs={"max_band_group": config.max_band_group,
                    "max_pairs": config.max_pairs_per_band_group},
-        batch_format="numpy",
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()
+
+    interior = scanned.map_batches(
+        lambda t: t.filter(pa.array(t["tag"].to_numpy(zero_copy_only=False) == 0))
+                   .select(["left_id", "right_id", "match_key", "capped"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
+    deferred = scanned.map_batches(
+        lambda t: t.filter(pa.array(t["tag"].to_numpy(zero_copy_only=False) == 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def emit_deferred(group: dict) -> dict:
+        fid = np.asarray(group["left_id"], dtype=np.int64)
+        if len(fid) < 2:
+            return {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64),
+                    "match_key": np.empty(0, np.int32), "capped": np.empty(0, np.uint8)}
+        l, r, c, k = _emit_segment(np.unique(fid), int(group["match_key"][0]),
+                                   config.max_band_group, config.max_pairs_per_band_group)
+        return {"left_id": l, "right_id": r,
+                "match_key": np.full(len(l), k, dtype=np.int32), "capped": c}
+
+    boundary_pairs = deferred.groupby("right_id").map_groups(emit_deferred, batch_format="numpy")
+    raw_pairs = interior.union(boundary_pairs)
+
     # cross-band dedup: min match_key wins (Splink match_key provenance, D4)
     return raw_pairs.groupby(["left_id", "right_id"]).aggregate(
         Min("match_key", alias_name="match_key"),
