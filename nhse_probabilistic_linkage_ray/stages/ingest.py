@@ -93,11 +93,44 @@ def _assign_rep(group: pa.Table) -> pa.Table:
     return group.append_column("rep_id", pa.array(np.full(len(fid), rep), pa.int64()))
 
 
+REP_MAP_BROADCAST_LIMIT = 3_000_000
+
+
 def exact_group_stage(ingested: "ray.data.Dataset", config: PipelineConfig) -> "ray.data.Dataset":
-    """One shuffle on group_key; adds rep_id to every row. Rows with
-    file_id == rep_id are the representatives that flow to the signature
-    stage; the (file_id, rep_id) mapping is the exact-duplicate edge set."""
-    return ingested.groupby("group_key").map_groups(_assign_rep, batch_format="pyarrow")
+    """Adds rep_id to every row. Rows with file_id == rep_id are the
+    representatives that flow to the signature stage; the (file_id, rep_id)
+    mapping is the exact-duplicate edge set.
+
+    The grouping shuffle runs over a NARROW projection (group_key, file_id —
+    ~70 bytes/row) instead of dragging norm_content through the sort; the
+    resulting (group_key -> rep_id) map is broadcast back when small, else
+    attached with a hash join. At any scale the fat columns move zero times."""
+    from ray.data.aggregate import Min as _Min
+
+    ingested = ingested.materialize()
+    rep_map = ingested.select_columns(["group_key", "file_id"]) \
+        .groupby("group_key").aggregate(_Min("file_id", alias_name="rep_id")) \
+        .materialize()
+
+    if rep_map.count() <= REP_MAP_BROADCAST_LIMIT:
+        import ray as _ray
+
+        lookup = {}
+        for b in rep_map.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(b["group_key"].to_pylist(), b["rep_id"].to_pylist()))
+        ref = _ray.put(lookup)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            reps = [m[k] for k in batch["group_key"].to_pylist()]
+            return batch.append_column("rep_id", pa.array(reps, pa.int64()))
+
+        return ingested.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+
+    return ingested.join(rep_map, join_type="inner",
+                         num_partitions=join_partitions(config), on=("group_key",))
 
 
 def exact_edges(exact_mapped: "ray.data.Dataset") -> "ray.data.Dataset":
