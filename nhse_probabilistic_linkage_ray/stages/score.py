@@ -239,16 +239,38 @@ def score_stage(
             zero_copy_batch=True,
         )
 
-    # ---- large-side path: two hash-partitioned joins, then stateless scoring
+    # ---- large-side path: two hash-partitioned joins, then stateless scoring.
+    # pyarrow's hash join cannot carry (large_)list payload columns, so the
+    # variable-length features travel as large_binary (offsets*8 + raw uint64
+    # bytes — a zero-copy reinterpretation both ways).
     from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+
+    def pack_lists(batch: pa.Table) -> pa.Table:
+        # uint64 simhash -> int64 bit-reinterpretation (Arrow cast range-checks)
+        sim_i64 = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.int64)
+        cols = {"file_id": batch["file_id"].combine_chunks(),
+                "simhash": pa.array(sim_i64, pa.int64())}
+        mh = batch["minhash"].combine_chunks()
+        cols["minhash_bin"] = pa.array(
+            [v.tobytes() for v in np.asarray(mh.flatten()).reshape(len(batch), -1)],
+            pa.large_binary())
+        for name in ("shingles", "token_hashes"):
+            col = batch[name].combine_chunks()
+            vals = np.asarray(col.values)
+            offs = np.asarray(col.offsets)
+            cols[name + "_bin"] = pa.array(
+                [vals[offs[i]:offs[i + 1]].tobytes() for i in range(len(batch))],
+                pa.large_binary())
+        return pa.table(cols)
 
     feat = signatures_ds.select_columns(
         ["file_id", "minhash", "simhash", "shingles", "token_hashes"]
-    )
+    ).map_batches(pack_lists, batch_format="pyarrow", zero_copy_batch=True)
+
     k = join_partitions(config)
     joined = pairs_ds.join(
         feat, join_type="inner", num_partitions=k,
-        on=("left_id",), right_on=("file_id",), right_suffix="_l",
+        on=("left_id",), right_on=("file_id",),
     )
     joined = joined.join(
         feat, join_type="inner", num_partitions=k,
@@ -262,7 +284,7 @@ def score_stage(
         cfg = PipelineConfig.from_json(cfg_json)
         cols = batch.column_names
 
-        def pick(base: str, side: str) -> pa.ChunkedArray:
+        def pick(base: str, side: str):
             for cand in (base + side, base):
                 if cand in cols:
                     return batch[cand]
@@ -270,28 +292,25 @@ def score_stage(
 
         n = len(batch)
 
-        # build a per-batch mini feature dict from the joined columns
         def side_feats(side):
             P = cfg.num_perms
-            mh = np.asarray(pick("minhash", side).combine_chunks().flatten()).reshape(n, P)
-            sim = pick("simhash", side).to_numpy(zero_copy_only=False)
-            sh = pick("shingles", side).combine_chunks()
-            th = pick("token_hashes", side).combine_chunks()
-            shv, sho = np.asarray(sh.values), np.asarray(sh.offsets)
-            thv, tho = np.asarray(th.values), np.asarray(th.offsets)
-            return mh, sim, (shv, sho), (thv, tho)
+            mh_bin = pick("minhash_bin", side).to_pylist()
+            mh = [np.frombuffer(b, dtype=np.uint64) for b in mh_bin]
+            sim = pick("simhash", side).to_numpy(zero_copy_only=False).view(np.uint64)
+            sh = [np.frombuffer(b, dtype=np.uint64) for b in pick("shingles_bin", side).to_pylist()]
+            th = [np.frombuffer(b, dtype=np.uint64) for b in pick("token_hashes_bin", side).to_pylist()]
+            return mh, sim, sh, th
 
-        mhL, simL, (shv, sho), (thv, tho) = side_feats("_L") if "minhash_L" in cols else side_feats("")
-        mhR, simR, (shv2, sho2), (thv2, tho2) = side_feats("_r")
+        mhL, simL, shL, thL = side_feats("_L")
+        mhR, simR, shR, thR = side_feats("_r")
 
         ids_l = batch["left_id"].to_numpy(zero_copy_only=False)
         ids_r = batch["right_id"].to_numpy(zero_copy_only=False)
-        # reuse score_pair_batch via a transient dict keyed by id — ids can
-        # repeat across rows; last write wins is fine (same features)
+        # transient per-batch dict — ids can repeat; same features either way
         fdict = {}
         for i in range(n):
-            fdict[int(ids_l[i])] = (mhL[i], np.uint64(simL[i]), shv[sho[i]:sho[i+1]], thv[tho[i]:tho[i+1]])
-            fdict[int(ids_r[i])] = (mhR[i], np.uint64(simR[i]), shv2[sho2[i]:sho2[i+1]], thv2[tho2[i]:tho2[i+1]])
+            fdict[int(ids_l[i])] = (mhL[i], np.uint64(simL[i]), shL[i], thL[i])
+            fdict[int(ids_r[i])] = (mhR[i], np.uint64(simR[i]), shR[i], thR[i])
         slim = pa.table({k2: batch[k2] for k2 in ("left_id", "right_id", "match_key", "capped")})
         return score_pair_batch(cfg, slim, fdict)
 
