@@ -152,12 +152,24 @@ def run_dedupe(
                                "content_sha256", "rep_id"]),
         comps, config))
 
-    # metrics sidecars (per-partition lineage + metrics per north_rule)
+    # metrics sidecars (per-partition lineage + metrics per north_rule):
+    # cluster-size count-of-counts (A1) + the skew monitor — how many pairs
+    # came from capped (over-sized) band buckets (the reference only monitors
+    # hot blocking keys after the fact; here it is a first-class run metric)
+    import json as _json
+
+    from nhse_probabilistic_linkage_ray.stages.report import capped_band_report
+
     hist = cluster_size_histogram(clusters)
-    hist_path = os.path.join(workdir, "metrics")
-    os.makedirs(hist_path, exist_ok=True)
-    hist.write_parquet(os.path.join(hist_path, "cluster_size_histogram"),
+    metrics_path = os.path.join(workdir, "metrics")
+    os.makedirs(metrics_path, exist_ok=True)
+    hist.write_parquet(os.path.join(metrics_path, "cluster_size_histogram"),
                        mode="overwrite")
+    skew = capped_band_report(scored)
+    with open(os.path.join(metrics_path, "skew.json"), "w") as f:
+        _json.dump({"capped_pairs": int(skew["capped_pairs"] or 0),
+                    "pairs": int(skew["pairs"] or 0),
+                    "config_hash": ch}, f)
 
     return {
         "clusters": clusters,
