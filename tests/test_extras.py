@@ -150,3 +150,22 @@ class TestFellegiSunterMath:
         m, u = cfg.clamped_mu()
         assert m[0] > 0 and u[1] == 1e-9
         assert abs(sum(m) - 1) < 1e-9
+
+
+class TestCsvDictionary:
+    def test_csv_roundtrip_and_broadcast_annotation(self, ray_session, tmp_path):
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.sources.dictionaries import (
+            apply_dictionary_column,
+            load_csv_dictionary,
+        )
+
+        p = tmp_path / "nick.csv"
+        p.write_text("name,nickname\nrobert,bob\nrobert,rob\nsusan,sue\n")
+        ref = load_csv_dictionary(str(p), "name", "nickname")
+        ds = ray.data.from_items([{"name": "robert"}, {"name": "x"}])
+        rows = {r["name"]: r["nicks"] for r in
+                apply_dictionary_column(ds, ref, "name", "nicks").take_all()}
+        assert sorted(rows["robert"]) == ["bob", "rob"]
+        assert rows["x"] == []
