@@ -61,7 +61,12 @@ def run_bench() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # default min_parallelism is 200: every sort-shuffle schedules 200 reduce
+    # tasks regardless of cluster width — a CPU-independent constant that
+    # dominates small clusters. Size it to the cluster.
+    ctx.min_parallelism = max(8, 4 * NUM_CPUS)
 
     from nhse_probabilistic_linkage_ray.config import PipelineConfig
     from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
