@@ -99,6 +99,20 @@ class PipelineConfig:
     m_probabilities: tuple = (0.001, 0.02, 0.08, 0.3, 0.599)   # gamma 0..4
     u_probabilities: tuple = (0.95, 0.04, 0.008, 0.0015, 0.0005)
 
+    # --- term-frequency adjustments (ref comparison-level keys
+    #     tf_adjustment_column / tf_adjustment_weight / tf_minimum_u_value,
+    #     /root/reference/utils/parameter_lists.py:11-14; Splink 3.9 public
+    #     semantics: the level's Bayes factor is multiplied by
+    #     (u_level / tf(value))^weight, tf floored at tf_minimum_u_value —
+    #     a rare agreeing value is stronger evidence than a common one).
+    #     Code-dedup recast: the agreed value is the content hash of an
+    #     exact-duplicate group; boilerplate shared by thousands of files
+    #     gets a weaker exact-match weight than a rare verbatim copy.
+    tf_adjustment_column: str = "content_sha256"
+    tf_adjustment_weight: float = 0.0   # 0 = off (reference's null level uses 0)
+    tf_minimum_u_value: float = 0.0
+    tf_tier: int = GAMMA_EXACT          # gamma level the adjustment applies to
+
     @property
     def rows_per_band(self) -> int:
         assert self.num_perms % self.num_bands == 0
@@ -138,6 +152,19 @@ class PipelineConfig:
             return prior_odds
         m, u = self.clamped_mu()
         return prior_odds + math.log2(m[gamma] / u[gamma])
+
+    def tf_adjusted_match_weight(self, gamma: int, tf_value: float) -> float:
+        """Splink 3.9 term-frequency arithmetic for one pair: the level's
+        log2 Bayes factor gains ``weight * log2(u_level / max(tf, tf_min))``
+        when the pair agrees on the TF column with relative frequency
+        ``tf_value`` (ref keys at /root/reference/utils/parameter_lists.py:11-14).
+        With tf_adjustment_weight == 0 this IS match_weight(gamma)."""
+        w = self.match_weight(gamma)
+        if gamma != self.tf_tier or self.tf_adjustment_weight == 0 or tf_value <= 0:
+            return w
+        _, u = self.clamped_mu()
+        tf = max(tf_value, self.tf_minimum_u_value)
+        return w + self.tf_adjustment_weight * math.log2(u[gamma] / tf)
 
     @staticmethod
     def weight_to_probability(w: float) -> float:

@@ -129,7 +129,7 @@ def run_dedupe(
     clustering are each independently resumable (north_rule)."""
     config = config or PipelineConfig()
     os.makedirs(workdir, exist_ok=True)
-    fp = f"{input_path}"
+    fp = manifests.input_fingerprint(input_path)
     ch = config.config_hash
 
     def stage(name, build):
@@ -158,7 +158,10 @@ def run_dedupe(
     # hot blocking keys after the fact; here it is a first-class run metric)
     import json as _json
 
-    from nhse_probabilistic_linkage_ray.stages.report import capped_band_report
+    from nhse_probabilistic_linkage_ray.stages.report import (
+        capped_band_report,
+        cumulative_pairs_per_band,
+    )
 
     hist = cluster_size_histogram(clusters)
     metrics_path = os.path.join(workdir, "metrics")
@@ -166,9 +169,15 @@ def run_dedupe(
     hist.write_parquet(os.path.join(metrics_path, "cluster_size_histogram"),
                        mode="overwrite")
     skew = capped_band_report(scored)
+    cum = cumulative_pairs_per_band(scored)
     with open(os.path.join(metrics_path, "skew.json"), "w") as f:
         _json.dump({"capped_pairs": int(skew["capped_pairs"] or 0),
                     "pairs": int(skew["pairs"] or 0),
+                    "pairs_per_band": {
+                        "match_key": cum["match_key"].to_pylist(),
+                        "n_new_pairs": cum["n_new_pairs"].to_pylist(),
+                        "cumulative_pairs": cum["cumulative_pairs"].to_pylist(),
+                    },
                     "config_hash": ch}, f)
 
     return {

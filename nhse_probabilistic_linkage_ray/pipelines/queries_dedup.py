@@ -206,9 +206,8 @@ def q_minhash_dedup_clusters(sf_dir: str):
     return out["clusters"].select_columns(["file_id", "cluster_id", "content_sha256"])
 
 
-def q_simhash_near_pairs(sf_dir: str):
-    """SimHash-based near-dup pairs (Hamming <= 6) among documents — the
-    standalone SimHash dedup operator. Rows-only."""
+def _simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, simhash) over documents: 3-token shingle SimHash."""
     from nhse_probabilistic_linkage_ray.functions.shingle import shingle_hashes, token_hashes_batch
     from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
 
@@ -222,32 +221,69 @@ def q_simhash_near_pairs(sf_dir: str):
             "simhash": pa.array(s.view(np.int64), pa.int64()),
         })
 
-    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow").take_all()
-    ids = np.array([r["doc_id"] for r in sigs], dtype=np.int64)
-    hs = np.array([r["simhash"] for r in sigs], dtype=np.int64).view(np.uint64)
-    ref = ray.put((ids, hs))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
 
-    def pairs_block(batch: pa.Table) -> pa.Table:
-        ids_, hs_ = ray.get(ref)
-        lo = batch["lo"].to_numpy(zero_copy_only=False)
-        L, R, D = [], [], []
-        for i in lo:
-            rest = np.arange(i + 1, len(ids_))
-            if len(rest) == 0:
-                continue
-            d = hamming_distance(np.full(len(rest), hs_[i], dtype=np.uint64), hs_[rest])
-            keep = rest[d <= 6]
-            L.extend([int(ids_[i])] * len(keep))
-            R.extend(int(ids_[k]) for k in keep)
-            D.extend(int(x) for x in d[d <= 6])
+
+def simhash_near_pairs(
+    sigs_ds: "ray.data.Dataset", hamming_max: int = 6
+) -> "ray.data.Dataset":
+    """Distributed SimHash near-dup pairs via pigeonhole banding.
+
+    Split the 64-bit simhash into ``hamming_max + 1`` bit chunks: any pair
+    within Hamming distance ``hamming_max`` agrees EXACTLY on at least one
+    chunk (pigeonhole), so candidate generation is a groupby on
+    (chunk_id, chunk_value) — the same blocking shuffle as MinHash-LSH bands
+    (SURVEY.md J4) — followed by vectorized in-group Hamming verification and
+    a cross-chunk pair dedup. Nothing is collected to the driver; work is
+    O(sum of group^2) instead of the round-1 all-pairs O(N^2) take_all."""
+    n_chunks = hamming_max + 1
+    # chunk bit boundaries over the 64-bit hash
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(np.int64)
+    shifts = bounds[:-1]
+    widths = np.diff(bounds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        keys = np.empty((n, n_chunks), dtype=np.int64)
+        for c in range(n_chunks):
+            val = (h >> np.uint64(shifts[c])) & np.uint64((1 << int(widths[c])) - 1)
+            # chunk_id in the top bits keeps chunk key spaces disjoint
+            keys[:, c] = (np.int64(c) << np.int64(56)) | val.view(np.int64)
         return pa.table({
-            "left_id": pa.array(L, pa.int64()),
-            "right_id": pa.array(R, pa.int64()),
-            "hamming": pa.array(D, pa.int64()),
+            "chunk_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(did, n_chunks), pa.int64()),
+            "simhash": pa.array(np.repeat(h.view(np.int64), n_chunks), pa.int64()),
         })
 
-    idx = ray.data.from_items([{"lo": i} for i in range(len(ids))])
-    return idx.map_batches(pairs_block, batch_format="pyarrow", batch_size=64)
+    def verify(group: dict) -> dict:
+        did = np.asarray(group["doc_id"], dtype=np.int64)
+        h = np.asarray(group["simhash"], dtype=np.int64).view(np.uint64)
+        n = len(did)
+        if n < 2:
+            return {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64),
+                    "hamming": np.empty(0, np.int64)}
+        order = np.argsort(did)
+        did, h = did[order], h[order]
+        li, ri = np.triu_indices(n, k=1)
+        d = hamming_distance(h[li], h[ri])
+        keep = d <= hamming_max
+        return {"left_id": did[li[keep]], "right_id": did[ri[keep]],
+                "hamming": d[keep].astype(np.int64)}
+
+    exploded = sigs_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = exploded.groupby("chunk_key").map_groups(verify, batch_format="numpy")
+    # cross-chunk dedup (a pair can collide in several chunks)
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def q_simhash_near_pairs(sf_dir: str):
+    """SimHash-based near-dup pairs (Hamming <= 6) among documents — the
+    standalone SimHash dedup operator. Rows-only for the driver; pinned by a
+    pytest equivalence test against a brute-force all-pairs reference."""
+    return simhash_near_pairs(_simhash_signatures(sf_dir), hamming_max=6)
 
 
 # ------------------------------------------------------- embeddings / ANN
@@ -302,30 +338,69 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 
 def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Embedding-cosine near-duplicate pairs (cosine >= threshold) — the
-    embedding near-dup operator with an exact SQL oracle."""
-    emb = _load_embeddings(sf_dir)
-    rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-    ref = ray.put((ids, Vn))
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) — exact,
+    with an exact SQL oracle, via DISTRIBUTED block-pair products.
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_, Vn_ = ray.get(ref)
-        lo = batch["lo"].to_numpy(zero_copy_only=False)
-        L, R, C = [], [], []
-        for i in lo:
-            s = Vn_[i] @ Vn_[i + 1 :].T
-            hit = np.flatnonzero(s >= threshold)
-            for h in hit:
-                j = i + 1 + h
-                L.append(int(ids_[i])); R.append(int(ids_[j])); C.append(round(float(s[h]), 5))
+    The normalized embedding table is materialized as Arrow blocks in the
+    object store; one task per block-pair (i <= j) fetches its two blocks
+    zero-copy, runs a single matmul and keeps pairs over the threshold. The
+    driver holds only block refs (the round-1 version take_all'd the whole
+    table). Work is inherently all-pairs — that is what 'exact at any
+    threshold' costs; the scale path for near-dup at high thresholds is the
+    IVF/LSH approximate route in pipelines/similarity.py."""
+    def normalize(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(batch), -1)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        return pa.table({
+            "vec_id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+            "embedding": pa.array(list(Vn), pa.list_(pa.float64())),
+        })
+
+    emb = _load_embeddings(sf_dir).map_batches(normalize, batch_format="pyarrow")
+    refs = [r[0] if isinstance(r, tuple) else r
+            for r in emb.materialize().to_arrow_refs()]
+    nb = len(refs)
+
+    def _mat(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        col = tbl["embedding"].combine_chunks()
+        return ids, np.asarray(col.values, dtype=np.float64).reshape(len(ids), -1)
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for bi, bj in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, A = _mat(ray.get(refs[bi]))
+            ids_b, B = (ids_a, A) if bj == bi else _mat(ray.get(refs[bj]))
+            if not len(ids_a) or not len(ids_b):
+                continue
+            S = A @ B.T
+            li, rj = np.nonzero(S >= threshold)
+            la, rb = ids_a[li], ids_b[rj]
+            if bi == bj:
+                # diagonal block: symmetric matrix — keep one orientation
+                keep = la < rb
+                la, rb, s = la[keep], rb[keep], S[li[keep], rj[keep]]
+            else:
+                # off-diagonal: ids are disjoint; orient by id
+                s = S[li, rj]
+                lo = np.minimum(la, rb)
+                rb = np.maximum(la, rb)
+                la = lo
+            out.append((la, rb, s))
+        if not out:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        L = np.concatenate([o[0] for o in out])
+        R = np.concatenate([o[1] for o in out])
+        C = np.concatenate([o[2] for o in out])
         return pa.table({
             "left_id": pa.array(L, pa.int64()),
             "right_id": pa.array(R, pa.int64()),
-            "cosine": pa.array(C, pa.float64()),
+            "cosine": pa.array(np.round(C, 5), pa.float64()),
         })
 
-    idx = ray.data.from_items([{"lo": i} for i in range(len(ids))])
-    return idx.map_batches(block, batch_format="pyarrow", batch_size=64)
+    tasks = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)])
+    return tasks.map_batches(block_pair, batch_format="pyarrow", batch_size=1)

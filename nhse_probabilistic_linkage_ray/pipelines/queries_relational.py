@@ -101,29 +101,32 @@ def q_left_join_coalesce_remap(sf_dir: str):
 
 def q_full_outer_nation_counts(sf_dir: str):
     """J5 full outer + coalesce: per-nation customer count vs supplier count
-    (ref predictions ⟗ evaluation join, /root/reference/utils/model_utils.py:162-190)."""
-    nc = _t(sf_dir, "customer", ["c_nationkey"]).groupby("c_nationkey") \
-        .aggregate(Count(alias_name="n_cust"))
-    ns = _t(sf_dir, "supplier", ["s_nationkey"]).groupby("s_nationkey") \
-        .aggregate(Count(alias_name="n_supp"))
-    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
-    from nhse_probabilistic_linkage_ray.config import DEFAULT_CONFIG
+    (ref predictions ⟗ evaluation join, /root/reference/utils/model_utils.py:162-190).
 
-    j = nc.join(ns, join_type="full_outer", num_partitions=join_partitions(DEFAULT_CONFIG),
-                on=("c_nationkey",), right_on=("s_nationkey",))
-
-    def fin(batch: pa.Table) -> pa.Table:
-        # Ray's full-outer join coalesces the key into the left key column
-        ck = batch["c_nationkey"].combine_chunks().cast(pa.int64())
-        if "s_nationkey" in batch.column_names:
-            ck = pc.coalesce(ck, batch["s_nationkey"].combine_chunks().cast(pa.int64()))
+    A full outer join of two same-key aggregates IS a union + groupby-sum:
+    each side contributes (key, n, 0) / (key, 0, n) partial rows and one
+    shuffle merges them — no join operator, no empty-hash-partition schema
+    loss (the round-1 ArrowInvalid at num_partitions > distinct keys), and
+    the shape scales: it is exactly the partial-aggregation pattern used for
+    returnflag_totals."""
+    def cust_side(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "nationkey": ck,
-            "n_cust": pc.coalesce(batch["n_cust"].combine_chunks().cast(pa.int64()), pa.scalar(0, pa.int64())),
-            "n_supp": pc.coalesce(batch["n_supp"].combine_chunks().cast(pa.int64()), pa.scalar(0, pa.int64())),
+            "nationkey": batch["c_nationkey"].combine_chunks().cast(pa.int64()),
+            "n_cust": pa.array(np.ones(len(batch), np.int64)),
+            "n_supp": pa.array(np.zeros(len(batch), np.int64)),
         })
 
-    return j.map_batches(fin, batch_format="pyarrow")
+    def supp_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": batch["s_nationkey"].combine_chunks().cast(pa.int64()),
+            "n_cust": pa.array(np.zeros(len(batch), np.int64)),
+            "n_supp": pa.array(np.ones(len(batch), np.int64)),
+        })
+
+    c = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(cust_side, batch_format="pyarrow")
+    s = _t(sf_dir, "supplier", ["s_nationkey"]).map_batches(supp_side, batch_format="pyarrow")
+    return c.union(s).groupby("nationkey").aggregate(
+        Sum("n_cust", alias_name="n_cust"), Sum("n_supp", alias_name="n_supp"))
 
 
 def q_orders_per_customer_histogram(sf_dir: str):
@@ -155,13 +158,19 @@ def q_supplier_listagg_per_nation(sf_dir: str):
     (ref categorise_by_count_and_aggregate concat_ws(collect_list),
     /root/reference/utils/eval_utils.py:524-587)."""
 
-    def agg(group: pd.DataFrame) -> pd.DataFrame:
-        names = ",".join(sorted(group["s_name"]))
-        return pd.DataFrame({"s_nationkey": [group["s_nationkey"].iloc[0]],
-                             "suppliers": [names]})
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
 
-    return _t(sf_dir, "supplier", ["s_nationkey", "s_name"]) \
-        .groupby("s_nationkey").map_groups(agg, batch_format="pandas")
+    def agg(group: dict) -> dict:
+        return {"s_nationkey": [int(group["s_nationkey"][0])],
+                "suppliers": [",".join(group["s_name"])]}
+
+    return grouped_segment_apply(
+        _t(sf_dir, "supplier", ["s_nationkey", "s_name"]),
+        key_col="s_nationkey",
+        sort_cols=["s_nationkey", "s_name"], descending=[False, False],
+        seg_fn=agg,
+        result_schema=pa.schema([("s_nationkey", pa.int32()), ("suppliers", pa.string())]),
+    )
 
 
 def q_confusion_matrix_one_pass(sf_dir: str):
@@ -201,13 +210,21 @@ def q_keep_latest_order_per_customer(sf_dir: str):
     """A7 group-wise keep-latest (ref row_number over partitionBy orderBy
     req_CREATED keep max, utils/dataset_ingestion_utils.py:562-572)."""
 
-    def latest(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
-        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]],
-                             "latest_orderkey": [g["o_orderkey"].iloc[0]]})
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
 
-    return _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]) \
-        .groupby("o_custkey").map_groups(latest, batch_format="pandas")
+    def latest(group: dict) -> dict:
+        # rows arrive sorted (date desc, key desc): row 0 is the winner
+        return {"o_custkey": [int(group["o_custkey"][0])],
+                "latest_orderkey": [int(group["o_orderkey"][0])]}
+
+    return grouped_segment_apply(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]),
+        key_col="o_custkey",
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+        descending=[False, True, True],
+        seg_fn=latest,
+        result_schema=pa.schema([("o_custkey", pa.int64()), ("latest_orderkey", pa.int64())]),
+    )
 
 
 def q_best_order_with_close_matches(sf_dir: str):
@@ -215,16 +232,26 @@ def q_best_order_with_close_matches(sf_dir: str):
     how many orders are within 5% of the best (ref get_best_match +
     CLOSE_MATCHES_THRESHOLD, /root/reference/utils/model_utils.py:194-254)."""
 
-    def best(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        top = g.iloc[0]
-        close = int((g["o_totalprice"] >= top["o_totalprice"] * 0.95).sum()) - 1
-        return pd.DataFrame({"o_custkey": [top["o_custkey"]],
-                             "best_orderkey": [top["o_orderkey"]],
-                             "n_close": [close]})
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
 
-    return _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
-        .groupby("o_custkey").map_groups(best, batch_format="pandas")
+    def best(group: dict) -> dict:
+        # rows arrive sorted (price desc, key asc): row 0 is the best; typed
+        # int extraction avoids the round-1 pandas iloc[0] float64 row upcast
+        p = group["o_totalprice"]
+        close = int((p >= p[0] * 0.95).sum()) - 1
+        return {"o_custkey": [int(group["o_custkey"][0])],
+                "best_orderkey": [int(group["o_orderkey"][0])],
+                "n_close": [close]}
+
+    return grouped_segment_apply(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        key_col="o_custkey",
+        sort_cols=["o_custkey", "o_totalprice", "o_orderkey"],
+        descending=[False, True, False],
+        seg_fn=best,
+        result_schema=pa.schema([("o_custkey", pa.int64()), ("best_orderkey", pa.int64()),
+                                 ("n_close", pa.int64())]),
+    )
 
 
 def q_hash_bucket_sample(sf_dir: str):
@@ -406,11 +433,17 @@ def q_user_sessions(sf_dir: str):
     >30-minute gaps (ordering assumption: within-user sort by ts inside
     map_groups — the engine's windowed-aggregate capability)."""
 
-    def sess(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(gaps.sum()) + 1]})
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
 
-    return _t(sf_dir, "events", ["user_id", "ts"]) \
-        .groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess(group: dict) -> dict:
+        ts = np.asarray(group["ts"]).astype("datetime64[us]").astype(np.int64)
+        gaps = int((np.diff(ts) > 30 * 60 * 1_000_000).sum())
+        return {"user_id": [int(group["user_id"][0])], "n_sessions": [gaps + 1]}
+
+    return grouped_segment_apply(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id",
+        sort_cols=["user_id", "ts"], descending=[False, False],
+        seg_fn=sess,
+        result_schema=pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64())]),
+    )

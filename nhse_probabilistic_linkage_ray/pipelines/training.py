@@ -32,16 +32,35 @@ from nhse_probabilistic_linkage_ray.config import PipelineConfig
 from nhse_probabilistic_linkage_ray.functions.hashing import stable_bucket
 
 
+def sample_bucket_ids(
+    signatures_ds: "ray.data.Dataset", bucket_count: int, offset: int, limit: int
+) -> np.ndarray:
+    """Deterministic hash-bucket sample of the id column, as DATASET ops: the
+    bucket predicate runs inside map_batches and only the ~n/bucket_count
+    surviving ids are collected (sorted, truncated to ``limit``). The round-1
+    version collected every file_id to the driver — ~8 TB at 10^12 rows."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["file_id"].to_numpy(zero_copy_only=False)
+        m = stable_bucket(ids + offset, bucket_count) == 0
+        return batch.filter(pa.array(m))
+
+    sub = signatures_ds.select_columns(["file_id"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True)
+    chunks = [b["file_id"].to_numpy(zero_copy_only=False)
+              for b in sub.iter_batches(batch_format="pyarrow")]
+    ids = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+    return np.sort(ids)[:limit]  # sorted: stable across parallelism levels
+
+
 def sample_random_pairs(
     signatures_ds: "ray.data.Dataset", config: PipelineConfig, max_pairs: int = 1_000_000
 ) -> "ray.data.Dataset":
     """Deterministic pseudo-random record pairs: two hash-bucket samples of
-    the id space, crossed. Sample sizes chosen so s1*s2 <= max_pairs."""
-    ids = []
-    for b in signatures_ds.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
-        ids.append(b["file_id"].to_numpy(zero_copy_only=False))
-    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
-    n = len(ids)
+    the id space, crossed. Sample sizes chosen so s1*s2 <= max_pairs; only
+    the two bounded samples (<= isqrt(max_pairs) ids each) ever reach the
+    driver (ref cap semantics: estimate_u_using_random_sampling(max_pairs),
+    /root/reference/notebooks_dedupe/training_dedupe.py:105)."""
+    n = signatures_ds.count()
     if n < 2:
         return ray.data.from_arrow(pa.table({"left_id": pa.array([], pa.int64()),
                                              "right_id": pa.array([], pa.int64()),
@@ -49,8 +68,8 @@ def sample_random_pairs(
                                              "capped": pa.array([], pa.uint8())}))
     s = max(2, min(n, int(math.isqrt(max_pairs))))
     k = max(1, n // s)
-    a = ids[stable_bucket(ids, k) == 0][:s]
-    b = ids[stable_bucket(ids + 1, k) == 0][:s]
+    a = sample_bucket_ids(signatures_ds, k, 0, s)
+    b = sample_bucket_ids(signatures_ds, k, 1, s)
     li, ri = np.meshgrid(a, b, indexing="ij")
     li, ri = li.ravel(), ri.ravel()
     mask = li < ri

@@ -128,18 +128,39 @@ def capped_band_report(scored_ds: "ray.data.Dataset") -> "pa.Table":
     return agg
 
 
+def cumulative_pairs_per_band(pairs_ds: "ray.data.Dataset") -> "pa.Table":
+    """Cumulative comparisons per blocking rule (A6 second half, ref
+    ``cumulative_comparisons_from_blocking_rules_records`` usage at
+    /root/reference/notebooks_dedupe/blocking_evaluation_dedupe.py:162-175):
+    for each band (≙ blocking rule), how many NEW pairs it contributed — a
+    pair counts for the band that is its min ``match_key``, which is exactly
+    the provenance the pair-dedup aggregate already keeps (D4) — plus the
+    running cumulative total. One distributed groupby; the cumsum runs over
+    the <= num_bands result rows on the driver."""
+    per = pairs_ds.groupby("match_key").aggregate(Count(alias_name="n_new_pairs")) \
+        .sort("match_key")
+    batches = list(per.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(batches) if batches else pa.table(
+        {"match_key": pa.array([], pa.int32()), "n_new_pairs": pa.array([], pa.int64())})
+    cum = np.cumsum(t["n_new_pairs"].to_numpy(zero_copy_only=False))
+    return t.append_column("cumulative_pairs", pa.array(cum, pa.int64()))
+
+
 def gamma_pattern_table(scored_ds: "ray.data.Dataset", gamma_cols: list | None = None) -> "ray.data.Dataset":
     """Generic agreement-pattern concat over any set of gamma_* columns (M18,
     ref add_agreement_pattern utils/eval_utils.py:207-215; contract incl.
     gamma=-1 and ignoring non-gamma columns pinned by tests/eval_tests.py:584-693)."""
 
     def add_pattern(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cols = gamma_cols or [c for c in batch.column_names if c.startswith("gamma_")]
         if not cols:
-            pat = ["" for _ in range(len(batch))]
+            pat = pa.array([""] * len(batch), pa.string())
         else:
-            arrs = [batch[c].to_numpy(zero_copy_only=False) for c in cols]
-            pat = ["".join(str(int(a[i])) for a in arrs) for i in range(len(batch))]
-        return batch.append_column("agreement_pattern", pa.array(pat, pa.string()))
+            # vectorized concat: cast each gamma col to string, join element-wise
+            str_cols = [batch[c].combine_chunks().cast(pa.string()) for c in cols]
+            pat = pc.binary_join_element_wise(*str_cols, "")
+        return batch.append_column("agreement_pattern", pat)
 
     return scored_ds.map_batches(add_pattern, batch_format="pyarrow")

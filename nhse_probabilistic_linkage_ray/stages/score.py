@@ -189,12 +189,59 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
         "hamming_simhash": pa.array(ham, pa.uint8()),
         "lcs_frac": pa.array(lcs, pa.float32()),
         "gamma": pa.array(gamma, pa.int8()),
-        "gamma_pattern": pa.array([str(g) for g in gamma.tolist()], pa.string()),
+        "gamma_pattern": pa.array(gamma, pa.int8()).cast(pa.string()),
         "tier": pa.array(tier.tolist(), pa.string()),
         "match_weight": pa.array(w, pa.float64()),
         "match_probability": pa.array(prob, pa.float64()),
     })
     return out
+
+
+def exact_scored_pairs(
+    exact_mapped: "ray.data.Dataset",
+    config: PipelineConfig,
+    *,
+    total_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Gamma-4 (exact tier) scored pair rows from the exact-dup groups, with
+    term-frequency-adjusted match weights.
+
+    The TF column is the content hash (``config.tf_adjustment_column``): every
+    member of an exact group agrees on it by construction, and its relative
+    frequency is group_size / corpus_size — computed inside the same narrow
+    ``groupby(rep_id)`` that emits the star pairs (no extra shuffle). Weight
+    arithmetic is ``config.tf_adjusted_match_weight`` (Splink 3.9 semantics,
+    ref /root/reference/utils/parameter_lists.py:11-14). With
+    ``tf_adjustment_weight == 0`` every pair scores the plain exact-tier
+    weight (backward compatible)."""
+    from nhse_probabilistic_linkage_ray.config import GAMMA_EXACT
+
+    total = total_rows if total_rows is not None else exact_mapped.count()
+    cfg_json = config.to_json()
+
+    def emit(group: dict) -> dict:
+        cfg = PipelineConfig.from_json(cfg_json)
+        fid = np.sort(np.asarray(group["file_id"], dtype=np.int64))
+        n = len(fid)
+        if n < 2:
+            return {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64),
+                    "gamma": np.empty(0, np.int8), "tf_value": np.empty(0, np.float64),
+                    "match_weight": np.empty(0, np.float64),
+                    "match_probability": np.empty(0, np.float64)}
+        tf = n / total if total else 0.0
+        w = cfg.tf_adjusted_match_weight(GAMMA_EXACT, tf)
+        p = cfg.weight_to_probability(w)
+        return {
+            "left_id": np.full(n - 1, fid[0], np.int64),
+            "right_id": fid[1:],
+            "gamma": np.full(n - 1, GAMMA_EXACT, np.int8),
+            "tf_value": np.full(n - 1, tf, np.float64),
+            "match_weight": np.full(n - 1, w, np.float64),
+            "match_probability": np.full(n - 1, p, np.float64),
+        }
+
+    narrow = exact_mapped.select_columns(["rep_id", "file_id"])
+    return narrow.groupby("rep_id").map_groups(emit, batch_format="numpy")
 
 
 def score_stage(

@@ -29,6 +29,30 @@ def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "manifest.json")
 
 
+def input_fingerprint(input_path: str) -> str:
+    """Fingerprint of the input DATA, not just its path: sha256 over the
+    sorted (relative name, size, mtime_ns) list of the Parquet files under
+    ``input_path`` (or the file itself). A resume after the files changed
+    must invalidate every stage checkpoint — fingerprinting only the path
+    string silently served stale clusters."""
+    import hashlib
+
+    h = hashlib.sha256(input_path.encode())
+    entries = []
+    if os.path.isdir(input_path):
+        for root, _dirs, files in os.walk(input_path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, input_path), st.st_size, st.st_mtime_ns))
+    elif os.path.exists(input_path):
+        st = os.stat(input_path)
+        entries.append((os.path.basename(input_path), st.st_size, st.st_mtime_ns))
+    for name, size, mtime in sorted(entries):
+        h.update(f"{name}\x00{size}\x00{mtime}\x00".encode())
+    return h.hexdigest()[:32]
+
+
 def is_complete(stage_dir: str, config_hash: str, input_fingerprint: str) -> bool:
     mp = _manifest_path(stage_dir)
     if not os.path.exists(mp):

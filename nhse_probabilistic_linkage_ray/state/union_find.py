@@ -20,10 +20,16 @@ class UnionFind:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            self.parent[x] = p = self.find(p)
-        return p
+        # iterative two-pass (walk to root, then compress): a chain-shaped
+        # component would blow Python's recursion limit at ~1000 nodes, and
+        # the driver CC path streams up to 2M edges through this class
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)

@@ -1,0 +1,218 @@
+"""Round-2 regression tests: iterative union-find, data-derived resume
+fingerprints, bounded u-sampling, scale-safe SimHash / embedding near-dup
+(pytest equivalence vs brute force)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestUnionFindIterative:
+    def test_deep_chain_no_recursion_error(self):
+        from nhse_probabilistic_linkage_ray.state.union_find import UnionFind
+
+        uf = UnionFind()
+        n = 5000
+        # descending union order builds a parent chain of depth ~n
+        for i in range(n - 1, 0, -1):
+            uf.union(i - 1, i)
+        comp = uf.components()
+        assert set(comp.values()) == {0}
+        assert len(comp) == n
+
+    def test_min_member_semantics(self):
+        from nhse_probabilistic_linkage_ray.state.union_find import connected_components_small
+
+        comp = connected_components_small(np.array([[5, 9], [9, 2], [7, 8]]))
+        assert comp[5] == comp[9] == comp[2] == 2
+        assert comp[7] == comp[8] == 7
+
+
+class TestInputFingerprint:
+    def test_changes_with_data(self, tmp_path):
+        import os
+        import time
+
+        from nhse_probabilistic_linkage_ray.state.manifests import input_fingerprint
+
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "a.parquet").write_bytes(b"x" * 10)
+        fp1 = input_fingerprint(str(d))
+        assert fp1 == input_fingerprint(str(d))  # stable when unchanged
+        time.sleep(0.01)
+        (d / "a.parquet").write_bytes(b"y" * 11)
+        assert input_fingerprint(str(d)) != fp1  # size/mtime change invalidates
+        os.utime(d / "a.parquet")
+        (d / "b.parquet").write_bytes(b"z")
+        assert input_fingerprint(str(d)) != fp1  # new file invalidates
+
+
+class TestBoundedUSampling:
+    def test_sample_bound_and_determinism(self, ray_session, small_corpus):
+        import math
+
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import PipelineConfig
+        from nhse_probabilistic_linkage_ray.pipelines.training import (
+            sample_bucket_ids,
+            sample_random_pairs,
+        )
+        from nhse_probabilistic_linkage_ray.stages.ingest import (
+            exact_group_stage,
+            ingest_stage,
+            representatives,
+        )
+        from nhse_probabilistic_linkage_ray.stages.signature import signature_stage
+
+        cfg = PipelineConfig(num_perms=64, num_bands=16)
+        mapped = exact_group_stage(ingest_stage(ray.data.from_arrow(small_corpus), cfg), cfg)
+        sigs = signature_stage(representatives(mapped), cfg).materialize()
+        n = sigs.count()
+        max_pairs = 500
+        s = max(2, min(n, int(math.isqrt(max_pairs))))
+        a = sample_bucket_ids(sigs, max(1, n // s), 0, s)
+        # structural bound: only the bucket-filtered sample reaches the driver
+        assert len(a) <= s
+        assert np.all(np.diff(a) > 0)  # sorted unique -> parallelism-stable
+        pairs = sample_random_pairs(sigs, cfg, max_pairs=max_pairs)
+        assert 0 < pairs.count() <= max_pairs
+        # deterministic across invocations
+        p1 = sorted((r["left_id"], r["right_id"]) for r in pairs.take_all())
+        p2 = sorted((r["left_id"], r["right_id"])
+                    for r in sample_random_pairs(sigs, cfg, max_pairs=max_pairs).take_all())
+        assert p1 == p2
+
+
+def _brute_simhash_pairs(hamming_max=6):
+    """All-pairs reference over the sf0.001 documents, pure numpy."""
+    from nhse_probabilistic_linkage_ray.functions.shingle import (
+        shingle_hashes,
+        token_hashes_batch,
+    )
+    from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
+    from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = [(x or "").lower() for x in t["text"].to_pylist()]
+    flat, offs = token_hashes_batch(texts)
+    sh, so = shingle_hashes(flat, offs, 3)
+    sigs = simhash_fn(sh, so)
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    li, ri = np.triu_indices(len(ids), k=1)
+    d = hamming_distance(sigs[li], sigs[ri])
+    keep = d <= hamming_max
+    return sorted(zip(ids[li[keep]].tolist(), ids[ri[keep]].tolist(),
+                      d[keep].astype(int).tolist()))
+
+
+class TestSimhashPigeonhole:
+    def test_equivalent_to_bruteforce(self, ray_session):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import q_simhash_near_pairs
+
+        got = sorted((r["left_id"], r["right_id"], r["hamming"])
+                     for r in q_simhash_near_pairs(SF).take_all())
+        assert got == _brute_simhash_pairs()
+        assert len(got) > 0  # fixture has near-dups; test is non-vacuous
+
+
+class TestEmbeddingBlockPairs:
+    def test_equivalent_to_bruteforce(self, ray_session):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import (
+            q_embedding_near_dup_pairs,
+        )
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        col = t["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(ids), -1)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        S = Vn @ Vn.T
+        li, ri = np.triu_indices(len(ids), k=1)
+        keep = S[li, ri] >= 0.4
+        want = sorted(zip(ids[li[keep]].tolist(), ids[ri[keep]].tolist(),
+                          np.round(S[li[keep], ri[keep]], 5).tolist()))
+        got = sorted((r["left_id"], r["right_id"], r["cosine"])
+                     for r in q_embedding_near_dup_pairs(SF).take_all())
+        assert got == want
+        assert len(got) > 0
+
+
+class TestTermFrequencyAdjustment:
+    def test_splink_formula_hand_computed(self):
+        import math
+
+        from nhse_probabilistic_linkage_ray.config import GAMMA_EXACT, PipelineConfig
+
+        cfg = PipelineConfig(tf_adjustment_weight=1.0, tf_minimum_u_value=0.001)
+        m, u = cfg.clamped_mu()
+        # Splink 3.9: w = log2(prior odds) + log2(m/u) + w_tf * log2(u / max(tf, tf_min))
+        tf = 0.01
+        want = (math.log2(cfg.prior / (1 - cfg.prior))
+                + math.log2(m[GAMMA_EXACT] / u[GAMMA_EXACT])
+                + 1.0 * math.log2(u[GAMMA_EXACT] / tf))
+        got = cfg.tf_adjusted_match_weight(GAMMA_EXACT, tf)
+        assert abs(got - want) < 1e-12
+        # the tf floor (ref tf_minimum_u_value): tiny tf clamps to the floor
+        floored = cfg.tf_adjusted_match_weight(GAMMA_EXACT, 1e-9)
+        want_floor = (math.log2(cfg.prior / (1 - cfg.prior))
+                      + math.log2(m[GAMMA_EXACT] / u[GAMMA_EXACT])
+                      + math.log2(u[GAMMA_EXACT] / 0.001))
+        assert abs(floored - want_floor) < 1e-12
+        # weight 0 == off (the reference's null level sets weight 0)
+        off = PipelineConfig(tf_adjustment_weight=0.0)
+        assert off.tf_adjusted_match_weight(GAMMA_EXACT, tf) == off.match_weight(GAMMA_EXACT)
+        # rare value (tf < u, above the floor) boosts; common value penalizes
+        low_floor = PipelineConfig(tf_adjustment_weight=1.0, tf_minimum_u_value=1e-5)
+        assert low_floor.tf_adjusted_match_weight(GAMMA_EXACT, 1e-4) \
+            > low_floor.match_weight(GAMMA_EXACT)
+        assert cfg.tf_adjusted_match_weight(GAMMA_EXACT, 0.5) < cfg.match_weight(GAMMA_EXACT)
+
+    def test_exact_scored_pairs_tf(self, ray_session):
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import GAMMA_EXACT, PipelineConfig
+        from nhse_probabilistic_linkage_ray.stages.score import exact_scored_pairs
+
+        # 10 rows: one exact group of 4 (rep 1), one of 2 (rep 5), 4 singletons
+        mapped = ray.data.from_arrow(pa.table({
+            "file_id": pa.array(list(range(1, 11)), pa.int64()),
+            "rep_id": pa.array([1, 1, 1, 1, 5, 5, 7, 8, 9, 10], pa.int64()),
+        }))
+        cfg = PipelineConfig(tf_adjustment_weight=1.0, tf_minimum_u_value=0.001)
+        rows = exact_scored_pairs(mapped, cfg).take_all()
+        assert sorted((r["left_id"], r["right_id"]) for r in rows) == \
+            [(1, 2), (1, 3), (1, 4), (5, 6)]
+        by_left = {r["left_id"]: r for r in rows}
+        assert by_left[1]["tf_value"] == 0.4 and by_left[5]["tf_value"] == 0.2
+        # the bigger (more common) group gets the LOWER adjusted weight
+        assert by_left[1]["match_weight"] < by_left[5]["match_weight"]
+        assert by_left[1]["match_weight"] == pytest.approx(
+            cfg.tf_adjusted_match_weight(GAMMA_EXACT, 0.4))
+
+
+class TestCumulativePairsPerBand:
+    def test_fixture_with_known_band_overlap(self, ray_session):
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.stages.report import cumulative_pairs_per_band
+
+        # deduped pairs with min-band provenance: band0 found 3 pairs,
+        # band1 found 2 NEW pairs, band3 found 1 (band2 contributed none)
+        pairs = ray.data.from_arrow(pa.table({
+            "left_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "right_id": pa.array([11, 12, 13, 14, 15, 16], pa.int64()),
+            "match_key": pa.array([0, 0, 0, 1, 1, 3], pa.int32()),
+        }))
+        t = cumulative_pairs_per_band(pairs)
+        assert t["match_key"].to_pylist() == [0, 1, 3]
+        assert t["n_new_pairs"].to_pylist() == [3, 2, 1]
+        assert t["cumulative_pairs"].to_pylist() == [3, 5, 6]
