@@ -1,0 +1,166 @@
+"""Linking mode: link an external files table against a corpus.
+
+The dual of the dedupe pipeline — parity with the reference's link flow
+(``/root/reference/predict_linking.py:142-155``: ``match_probabilities_output``
+outer join + ``get_best_match``; window semantics at
+``/root/reference/utils/model_utils.py:194-254``; thresholds
+``MATCH_WEIGHT_THRESHOLD``/``CLOSE_MATCHES_THRESHOLD`` at
+``/root/reference/parameters_dedupe.py:22-23``):
+
+1. ingest both tables (same normalize/hash front end as dedupe),
+2. signature the UNION (one actor pool; signatures are side-agnostic),
+3. LSH candidate pairs, then keep only CROSS-dataset pairs (Splink
+   ``link_only`` semantics) via a broadcast of the external id set — the
+   external table is the small side by contract (ref ``load_data_to_link``),
+4. tiered scoring (same comparison levels as dedupe),
+5. per external record: best match by ``match_weight`` (tie-break: lowest
+   corpus file_id), close-match count within ``close_matches_threshold`` of
+   the best weight (difference rounded to 4 dp like the reference's
+   ``mp_difference``), and the reference's ``splink_close_match`` flag
+   (close list > 1 AND best weight >= ``match_weight_threshold``),
+6. full-outer semantics: every external record appears in the output;
+   records with no candidate get best_match_id = -1 and null-ish scores
+   (ref ``match_probabilities_output`` outer join).
+
+Note on the exact tier: dedupe routes sha-equal files through the exact
+pre-pass (gamma 4); in link mode identical contents simply score
+jaccard_exact = 1.0 (gamma 3) — same decision, one code path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from nhse_probabilistic_linkage_ray.config import PipelineConfig
+from nhse_probabilistic_linkage_ray.stages.candidates import candidate_pairs
+from nhse_probabilistic_linkage_ray.stages.ingest import ingest_stage
+from nhse_probabilistic_linkage_ray.stages.score import score_stage
+from nhse_probabilistic_linkage_ray.stages.signature import signature_stage
+
+# the external table must broadcast (ray.put id set); the corpus side is
+# unbounded. Mirrors the reference's shape: a bounded externally-supplied
+# table linked against the full PDS corpus.
+EXTERNAL_BROADCAST_LIMIT = 50_000_000
+
+
+def link_datasets(
+    external_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    config: PipelineConfig | None = None,
+    *,
+    close_matches_threshold: float = 5.0,
+    match_weight_threshold: float = 5.0,
+) -> "ray.data.Dataset":
+    """Two files-shaped Datasets -> one row per external record:
+    (ext_id, best_match_id, gamma, match_weight, match_probability,
+    n_close, close_match)."""
+    config = config or PipelineConfig()
+
+    ing_ext = ingest_stage(external_ds, config).materialize()
+    ing_cor = ingest_stage(corpus_ds, config)
+
+    # broadcast external id set — the cross-side filter and the outer-join
+    # completion both need it; collected once, bounded by contract
+    ext_ids: set = set()
+    for b in ing_ext.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
+        ext_ids.update(b["file_id"].to_pylist())
+    if len(ext_ids) > EXTERNAL_BROADCAST_LIMIT:
+        raise ValueError(
+            f"external side has {len(ext_ids)} rows; linking expects the "
+            f"bounded external table on the left (ref load_data_to_link)")
+    ext_ref = ray.put(frozenset(ext_ids))
+
+    both = ing_ext.union(ing_cor)
+    sigs = signature_stage(both, config).materialize()
+
+    pairs = candidate_pairs(sigs, config)
+
+    def cross_side(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ext_ref)
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        lm = np.fromiter((x in ids for x in l.tolist()), bool, len(l))
+        rm = np.fromiter((x in ids for x in r.tolist()), bool, len(r))
+        return batch.filter(pa.array(lm != rm))  # exactly one endpoint external
+
+    cross = pairs.map_batches(cross_side, batch_format="pyarrow", zero_copy_batch=True)
+    scored = score_stage(cross, sigs, config)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ext_ref)
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        lm = np.fromiter((x in ids for x in l.tolist()), bool, len(l))
+        return pa.table({
+            "ext_id": pa.array(np.where(lm, l, r), pa.int64()),
+            "match_id": pa.array(np.where(lm, r, l), pa.int64()),
+            "gamma": batch["gamma"].combine_chunks(),
+            "match_weight": batch["match_weight"].combine_chunks(),
+            "match_probability": batch["match_probability"].combine_chunks(),
+        })
+
+    oriented = scored.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def best(group: dict) -> dict:
+        w = np.asarray(group["match_weight"], dtype=np.float64)
+        mid = np.asarray(group["match_id"], dtype=np.int64)
+        order = np.lexsort((mid, -w))  # weight desc, id asc (deterministic)
+        top = order[0]
+        max_w = w[top]
+        # ref mp_difference: round(max - w, 4) < threshold (incl. the best)
+        n_close = int((np.round(max_w - w, 4) < close_matches_threshold).sum())
+        flag = bool(n_close > 1 and max_w >= match_weight_threshold)
+        return {
+            "ext_id": [int(group["ext_id"][0])],
+            "best_match_id": [int(mid[top])],
+            "gamma": [int(np.asarray(group["gamma"])[top])],
+            "match_weight": [float(max_w)],
+            "match_probability": [float(np.asarray(group["match_probability"])[top])],
+            "n_close": [n_close],
+            "close_match": [flag],
+        }
+
+    matched = oriented.groupby("ext_id").map_groups(best, batch_format="numpy") \
+        .materialize()
+
+    # outer-join completion: external records with no candidates
+    matched_ids: set = set()
+    for b in matched.select_columns(["ext_id"]).iter_batches(batch_format="pyarrow"):
+        matched_ids.update(b["ext_id"].to_pylist())
+    matched_ref = ray.put(frozenset(matched_ids))
+
+    def unmatched(batch: pa.Table) -> pa.Table:
+        got = ray.get(matched_ref)
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter((x not in got for x in fid.tolist()), bool, len(fid))
+        fid = fid[keep]
+        n = len(fid)
+        return pa.table({
+            "ext_id": pa.array(fid, pa.int64()),
+            "best_match_id": pa.array(np.full(n, -1, np.int64)),
+            "gamma": pa.array(np.full(n, -1, np.int8)),
+            "match_weight": pa.array(np.full(n, np.nan), pa.float64()),
+            "match_probability": pa.array(np.full(n, np.nan), pa.float64()),
+            "n_close": pa.array(np.zeros(n, np.int64)),
+            "close_match": pa.array(np.zeros(n, bool)),
+        })
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ext_id": batch["ext_id"].combine_chunks().cast(pa.int64()),
+            "best_match_id": batch["best_match_id"].combine_chunks().cast(pa.int64()),
+            "gamma": batch["gamma"].combine_chunks().cast(pa.int8()),
+            "match_weight": batch["match_weight"].combine_chunks().cast(pa.float64()),
+            "match_probability": batch["match_probability"].combine_chunks().cast(pa.float64()),
+            "n_close": batch["n_close"].combine_chunks().cast(pa.int64()),
+            "close_match": batch["close_match"].combine_chunks().cast(pa.bool_()),
+        })
+
+    no_match = ing_ext.select_columns(["file_id"]).map_batches(
+        unmatched, batch_format="pyarrow", zero_copy_batch=True)
+    return matched.map_batches(cast, batch_format="pyarrow").union(
+        no_match.map_batches(cast, batch_format="pyarrow"))

@@ -42,9 +42,61 @@ REGISTRY: dict = {
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
         FROM documents
     """),
-    "quality_scores": (qd.q_quality_scores, None),   # unicode regex classes: rows-only
-    "lang_id": (qd.q_lang_id, None),                 # heuristic model: rows-only
-    "fingerprints": (qd.q_fingerprints, None),       # rolling-hash sketch: rows-only
+    "quality_scores": (qd.q_quality_scores, """
+        WITH q AS (
+          SELECT doc_id, text, length(text) AS length,
+                 regexp_extract_all(text, '[a-z]+') AS words,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+                 CASE WHEN len(regexp_extract_all(text, '[a-z]+')) = 0 THEN 0
+                      ELSE list_sum(list_transform(regexp_extract_all(text, '[a-z]+'),
+                                                   w -> length(w)))::DOUBLE END AS n_alpha
+          FROM documents
+        )
+        SELECT doc_id, length,
+               round(CASE WHEN len(words) = 0 THEN 0 ELSE n_alpha / len(words) END, 6) AS mean_word_len,
+               round(CASE WHEN length = 0 THEN 0 ELSE n_punct / length END, 6) AS punct_ratio,
+               round(CASE WHEN len(words) = 0 THEN 0
+                     ELSE len(list_filter(words, w -> w IN
+                          ('the','and','of','to','a','in','is','that','it','for','was','with','on','as','are')))::DOUBLE
+                          / len(words) END, 6) AS stop_ratio,
+               round(CASE WHEN length = 0 THEN 0 ELSE n_alpha / length END, 6) AS alpha_ratio
+        FROM q
+    """),
+    "lang_id": (qd.q_lang_id, """
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(regexp_extract_all(substr(text, 1, 4000), '[a-z]+')) AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+            len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for','was','with','on','as','are'])) AS s_en,
+            len(list_intersect(ws, ['der','die','und','das','ist','von','mit','den','nicht','ein','eine','zu','im','auf'])) AS s_de,
+            len(list_intersect(ws, ['le','la','les','et','des','est','une','dans','que','pour','qui','pas','sur','avec'])) AS s_fr,
+            len(list_intersect(ws, ['el','la','los','las','y','es','una','en','que','por','con','para','del','se'])) AS s_es,
+            len(list_intersect(ws, ['il','la','di','e','che','un','una','per','con','del','non','sono','come'])) AS s_it
+          FROM w
+        )
+        SELECT doc_id, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+          WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+          WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+          WHEN s_es > 0 AND s_es >= s_it THEN 'es'
+          WHEN s_it > 0 THEN 'it'
+          ELSE 'unknown' END AS lang_pred
+        FROM s
+    """),
+    "fingerprints": (qd.q_fingerprints, """
+        SELECT doc_id,
+               CASE WHEN length(text) < 8 THEN md5(text)
+                    ELSE list_min([md5(substr(text, i, 8))
+                                   FOR i IN generate_series(1, length(text) - 7)])
+               END AS fingerprint
+        FROM documents
+    """),
+    # (the uint64 rolling-hash fingerprint kernel — q_fingerprints_rolling —
+    # is the scale variant of the same operator; pinned by pytest kernel
+    # tests rather than a registry row, since the md5-winnowing variant above
+    # already oracle-verifies the operator family)
     "word_jaccard_pairs": (qd.q_word_jaccard_pairs, """
         WITH w AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words
@@ -61,8 +113,69 @@ REGISTRY: dict = {
                         / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
               END >= 0.5
     """),
-    "minhash_dedup_clusters": (qd.q_minhash_dedup_clusters, None),  # full pipeline: pytest-pinned
+    "minhash_dedup_clusters": (qd.q_minhash_dedup_clusters, """
+        WITH RECURSIVE d AS (
+          SELECT doc_id, text, sha256(text) AS sha,
+                 regexp_extract_all(text, '\\w+|[^\\w\\s]') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, sha, text,
+                 CASE WHEN len(w) >= 5 THEN
+                   list_distinct([array_to_string(w[i:i+4], chr(30))
+                                  FOR i IN generate_series(1, len(w) - 4)])
+                 ELSE [] END AS shingles
+          FROM d
+        ),
+        e0 AS (
+          SELECT a.doc_id AS x, b.doc_id AS y
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (len(a.shingles) > 0 AND len(b.shingles) > 0
+                 AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))) >= 0.7)
+             OR (len(a.shingles) = 0 AND len(b.shingles) = 0 AND a.text = b.text)
+        ),
+        edges AS (SELECT x, y FROM e0 UNION SELECT y AS x, x AS y FROM e0),
+        walk(doc_id, lbl) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.y, w.lbl FROM walk w JOIN edges e ON e.x = w.doc_id
+        )
+        SELECT w.doc_id, min(w.lbl)::BIGINT AS cluster_doc_id, d.sha AS content_sha256
+        FROM walk w JOIN d ON d.doc_id = w.doc_id
+        GROUP BY w.doc_id, d.sha
+    """),
     "simhash_near_pairs": (qd.q_simhash_near_pairs, None),
+    "link_best_match": (qd.q_link_best_match, """
+        WITH d AS (
+          SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words
+          FROM documents
+        ),
+        p AS (
+          SELECT e.doc_id AS ext_doc_id, c.doc_id AS match_doc_id,
+                 len(list_intersect(e.words, c.words))::DOUBLE
+                   / nullif(len(e.words) + len(c.words)
+                            - len(list_intersect(e.words, c.words)), 0) AS jac
+          FROM d e JOIN d c ON e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        ),
+        t AS (
+          SELECT ext_doc_id, match_doc_id,
+                 CASE WHEN jac >= 0.9 THEN 3 ELSE 2 END AS gamma
+          FROM p WHERE jac >= 0.7
+        ),
+        r AS (
+          SELECT *, max(gamma) OVER (PARTITION BY ext_doc_id) AS gmax FROM t
+        ),
+        top AS (
+          SELECT ext_doc_id, gmax AS best_gamma,
+                 count(*)::BIGINT AS n_close,
+                 CASE WHEN count(*) = 1 THEN min(match_doc_id) ELSE -1 END AS best_doc_id
+          FROM r WHERE gamma = gmax GROUP BY ext_doc_id, gmax
+        )
+        SELECT ext_doc_id, best_doc_id, best_gamma::BIGINT AS best_gamma, n_close
+        FROM top
+    """),
     "ann_cosine_topk": (qd.q_ann_cosine_topk, """
         SELECT query_id, neighbor_id, cosine FROM (
           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -102,19 +102,27 @@ def q_doc_normalize(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def _round_half_away(v: np.ndarray, dp: int = 6) -> np.ndarray:
+    """Round-half-away-from-zero for non-negative arrays (SQL ROUND
+    semantics; numpy rounds half-to-even, which differs on exact ties
+    like 0.8203125)."""
+    s = 10.0 ** dp
+    return np.floor(v * s + 0.5) / s
+
+
 def q_quality_scores(sf_dir: str):
-    """Quality features (length / punct / stopword / alpha ratios) — rows-only
-    (regex unicode classes are not DuckDB-parity-safe)."""
+    """Quality features (length / punct / stopword / alpha ratios) with a
+    DuckDB oracle (regexp_extract_all + list kernels)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         s = textstats.quality_scores(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
             "length": pa.array(s["length"], pa.int64()),
-            "mean_word_len": pa.array(np.round(s["mean_word_len"], 6), pa.float64()),
-            "punct_ratio": pa.array(np.round(s["punct_ratio"], 6), pa.float64()),
-            "stop_ratio": pa.array(np.round(s["stop_ratio"], 6), pa.float64()),
-            "alpha_ratio": pa.array(np.round(s["alpha_ratio"], 6), pa.float64()),
+            "mean_word_len": pa.array(_round_half_away(s["mean_word_len"]), pa.float64()),
+            "punct_ratio": pa.array(_round_half_away(s["punct_ratio"]), pa.float64()),
+            "stop_ratio": pa.array(_round_half_away(s["stop_ratio"]), pa.float64()),
+            "alpha_ratio": pa.array(_round_half_away(s["alpha_ratio"]), pa.float64()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -133,7 +141,35 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints — rows-only."""
+    """Document fingerprints, winnowing-family: the minimum hash over all
+    character 8-gram windows (min-sampling of a rolling window — stable under
+    edits that don't touch the minimizing window). md5 is the window hash so
+    a DuckDB oracle can replay it exactly; the high-throughput uint64
+    rolling-hash variant is ``functions/textstats.fingerprint_rolling``
+    (same operator family, pinned by pytest kernel tests)."""
+    import hashlib as _hl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            if len(t) < 8:
+                out.append(_hl.md5(t.encode()).hexdigest())
+            else:
+                # character windows (matches SQL substr semantics)
+                out.append(min(_hl.md5(t[i:i + 8].encode()).hexdigest()
+                               for i in range(len(t) - 7)))
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "fingerprint": pa.array(out, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprints_rolling(sf_dir: str):
+    """uint64 rolling-window fingerprints (the scale kernel) — rows-only;
+    the mix64 arithmetic has no SQL analog."""
 
     def fn(batch: pa.Table) -> pa.Table:
         fp = textstats.fingerprint_rolling(batch["text"].to_pylist())
@@ -197,13 +233,52 @@ def q_word_jaccard_pairs(sf_dir: str):
 
 def q_minhash_dedup_clusters(sf_dir: str):
     """Flagship: full MinHash-LSH dedup pipeline over the files-shaped
-    adapter of documents -> (file_id, cluster_id). Rows-only for the driver;
-    pinned against the brute-force oracle in pytest."""
+    adapter of documents -> one row per document with its cluster.
+
+    Now carries a FULL value-hash DuckDB oracle: on this corpus (ASCII words,
+    whitespace-separated) the pipeline's cluster assignment equals exact
+    5-token-shingle-Jaccard >= 0.7 connected components, which SQL can
+    compute with list kernels + a recursive CTE. The LSH banding config
+    (b=32 x r=4, P(candidate | j=0.7) ~ 0.99984 per band set) plus the
+    rescue_low exact-verification gate make recall exact on the test corpus
+    (deterministic seed; pinned). Output ids are doc-level (cluster id =
+    min doc_id of the component — recovered from the adapter's path layout);
+    at scale the engine's identity is the 64-bit file_id and this remap is a
+    reporting concern."""
+    from ray.data.aggregate import Min as _Min
+
     from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
     from nhse_probabilistic_linkage_ray.sources.documents import files_from_documents
 
     out = dedupe_dataset(files_from_documents(sf_dir), PipelineConfig())
-    return out["clusters"].select_columns(["file_id", "cluster_id", "content_sha256"])
+    cl = out["clusters"].select_columns(["path", "cluster_id", "content_sha256"])
+
+    def with_doc(batch: pa.Table) -> pa.Table:
+        # adapter layout: path == f"docs/{doc_id:08d}.md"
+        doc = np.array([int(p[5:13]) for p in batch["path"].to_pylist()], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "cluster_id": batch["cluster_id"].combine_chunks(),
+            "content_sha256": batch["content_sha256"].combine_chunks(),
+        })
+
+    cl = cl.map_batches(with_doc, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    mins = cl.groupby("cluster_id").aggregate(_Min("doc_id", alias_name="cluster_doc_id"))
+    lookup = {}
+    for b in mins.iter_batches(batch_format="pyarrow"):
+        lookup.update(zip(b["cluster_id"].to_pylist(), b["cluster_doc_id"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cd = [m[c] for c in batch["cluster_id"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "cluster_doc_id": pa.array(cd, pa.int64()),
+            "content_sha256": batch["content_sha256"].combine_chunks(),
+        })
+
+    return cl.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
@@ -284,6 +359,95 @@ def q_simhash_near_pairs(sf_dir: str):
     standalone SimHash dedup operator. Rows-only for the driver; pinned by a
     pytest equivalence test against a brute-force all-pairs reference."""
     return simhash_near_pairs(_simhash_signatures(sf_dir), hamming_max=6)
+
+
+# ------------------------------------------------------------- linking mode
+
+def q_link_best_match(sf_dir: str):
+    """Linking mode end-to-end as a driver query WITH an exact SQL oracle:
+    documents with doc_id % 10 == 0 form the external table, the rest the
+    corpus; ``link_datasets`` blocks across the two, scores, and picks the
+    best match per external record (ref ``predict_linking.py:142-155`` +
+    ``get_best_match`` ``utils/model_utils.py:194-254``).
+
+    Oracle-parity choices (the SQL cannot express MinHash/SimHash/LCS):
+    - content is pre-tokenized to \\w+ words (the pairing proven hash-equal
+      in ``word_jaccard_pairs``) and shingle_k=1, so exact-Jaccard == SQL
+      word-set Jaccard;
+    - banding r=2 x b=64 makes P(miss | jaccard >= 0.7) ~ 1e-19 and
+      rescue_low=0.2 guarantees the exact-Jaccard tier is always evaluated;
+    - output keeps only gamma >= 2 (the SQL-expressible tiers) and masks the
+      winner id to -1 when several candidates tie at the top tier (tie-break
+      among equal weights is by internal hash id — implementation-defined —
+      while n_close and best_gamma stay exact).
+    """
+    import re
+
+    from nhse_probabilistic_linkage_ray.functions.hashing import file_id_column
+    from nhse_probabilistic_linkage_ray.pipelines.linking import link_datasets
+
+    word = re.compile(r"\w+")
+
+    def files_batch(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        content = [" ".join(word.findall((t or "").lower())) for t in texts]
+        repo = ["linkcorpus"] * len(doc_id)
+        path = [f"docs/{d:08d}.md" for d in doc_id]
+        commit = ["0" * 40] * len(doc_id)
+        return pa.table({
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(["text"] * len(doc_id), pa.string()),
+            "content": pa.array(content, pa.large_string()),
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "file_id": pa.array(
+                file_id_column(pa.array(repo, pa.string()), pa.array(path, pa.string()),
+                               pa.array(commit, pa.string())), pa.int64()),
+        })
+
+    adapted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        files_batch, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # file_id <-> doc_id map (test-scale documents table; bounded)
+    id_map: dict = {}
+    for b in adapted.select_columns(["file_id", "doc_id"]).iter_batches(batch_format="pyarrow"):
+        id_map.update(zip(b["file_id"].to_pylist(), b["doc_id"].to_pylist()))
+    map_ref = ray.put(id_map)
+
+    def side(pred):
+        return adapted.map_batches(
+            lambda t: t.filter(pa.array(pred(t["doc_id"].to_numpy(zero_copy_only=False))))
+                       .select(["repo", "path", "commit", "lang", "content"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    ext = side(lambda d: d % 10 == 0)
+    cor = side(lambda d: d % 10 != 0)
+
+    cfg = PipelineConfig(shingle_k=1, num_perms=128, num_bands=64, rescue_low=0.2)
+    res = link_datasets(ext, cor, cfg, close_matches_threshold=0.5,
+                        match_weight_threshold=5.0)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        g = batch["gamma"].to_numpy(zero_copy_only=False)
+        keep = g >= 2
+        sub = batch.filter(pa.array(keep))
+        ext_doc = np.array([m[x] for x in sub["ext_id"].to_pylist()], dtype=np.int64)
+        n_close = sub["n_close"].to_numpy(zero_copy_only=False)
+        best_doc = np.array(
+            [m[x] if nc == 1 else -1
+             for x, nc in zip(sub["best_match_id"].to_pylist(), n_close.tolist())],
+            dtype=np.int64)
+        return pa.table({
+            "ext_doc_id": pa.array(ext_doc, pa.int64()),
+            "best_doc_id": pa.array(best_doc, pa.int64()),
+            "best_gamma": sub["gamma"].combine_chunks().cast(pa.int64()),
+            "n_close": pa.array(n_close, pa.int64()),
+        })
+
+    return res.map_batches(fin, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- embeddings / ANN

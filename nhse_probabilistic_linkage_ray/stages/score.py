@@ -153,7 +153,9 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
     sigR = np.empty((n, P), dtype=np.uint64)
     simL = np.empty(n, dtype=np.uint64)
     simR = np.empty(n, dtype=np.uint64)
-    jac = np.zeros(n, dtype=np.float32)
+    # threshold comparisons at DOUBLE precision (a float32 round of an exact
+    # rational like 7/10 lands below the 0.7 threshold); stored as float32
+    jac = np.zeros(n, dtype=np.float64)
     shL, shR, thL, thR = [], [], [], []
     for i in range(n):
         fl = features[int(left[i])]
@@ -173,7 +175,7 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
         jac[i] = jaccard_sorted(shL[i], shR[i])
 
     # LCS rescue only for near-misses that fail both Jaccard and SimHash
-    lcs = np.zeros(n, dtype=np.float32)
+    lcs = np.zeros(n, dtype=np.float64)
     need_lcs = need_exact & (jac < cfg.jaccard_threshold) & (ham > cfg.simhash_hamming_max)
     for i in np.flatnonzero(need_lcs):
         lcs[i] = lcs_fraction(thL[i], thR[i])
@@ -185,9 +187,9 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
         "match_key": batch["match_key"].combine_chunks(),
         "capped": batch["capped"].combine_chunks(),
         "jaccard_minhash": pa.array(est, pa.float32()),
-        "jaccard_exact": pa.array(jac, pa.float32()),
+        "jaccard_exact": pa.array(jac.astype(np.float32), pa.float32()),
         "hamming_simhash": pa.array(ham, pa.uint8()),
-        "lcs_frac": pa.array(lcs, pa.float32()),
+        "lcs_frac": pa.array(lcs.astype(np.float32), pa.float32()),
         "gamma": pa.array(gamma, pa.int8()),
         "gamma_pattern": pa.array(gamma, pa.int8()).cast(pa.string()),
         "tier": pa.array(tier.tolist(), pa.string()),

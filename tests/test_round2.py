@@ -216,3 +216,68 @@ class TestCumulativePairsPerBand:
         assert t["match_key"].to_pylist() == [0, 1, 3]
         assert t["n_new_pairs"].to_pylist() == [3, 2, 1]
         assert t["cumulative_pairs"].to_pylist() == [3, 5, 6]
+
+
+class TestLinkingMode:
+    def test_link_vs_bruteforce(self, ray_session, small_corpus):
+        """link_datasets on a corpus split vs an exhaustive all-pairs
+        reference sharing the same kernels (ref predict_linking flow)."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import PipelineConfig
+        from nhse_probabilistic_linkage_ray.functions.hashing import file_id_column
+        from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_sorted
+        from nhse_probabilistic_linkage_ray.functions.normalize import normalize_content
+        from nhse_probabilistic_linkage_ray.functions.shingle import shingle_set
+        from nhse_probabilistic_linkage_ray.pipelines.linking import link_datasets
+
+        cfg = PipelineConfig(num_perms=128, num_bands=64, rescue_low=0.2)
+        t = small_corpus
+        fid = file_id_column(t["repo"].combine_chunks(), t["path"].combine_chunks(),
+                             t["commit"].combine_chunks())
+        # split: every 5th row external, rest corpus
+        ext_mask = np.arange(len(t)) % 5 == 0
+        ext_t = t.filter(pa.array(ext_mask))
+        cor_t = t.filter(pa.array(~ext_mask))
+
+        res = link_datasets(ray.data.from_arrow(ext_t), ray.data.from_arrow(cor_t),
+                            cfg, close_matches_threshold=0.5,
+                            match_weight_threshold=5.0).take_all()
+        got = {r["ext_id"]: r for r in res}
+
+        # brute force: per external record, best corpus match at gamma >= 2
+        # (exact-Jaccard tiers; the pipeline's rescue tier is below these)
+        norm = [normalize_content(c, strip_trailing_ws=cfg.strip_trailing_ws,
+                                  collapse_blank_lines=cfg.collapse_blank_lines,
+                                  lowercase=cfg.lowercase) or ""
+                for c in t["content"].to_pylist()]
+        sh = [shingle_set(x, cfg.shingle_k) for x in norm]
+        ext_idx = np.flatnonzero(ext_mask)
+        cor_idx = np.flatnonzero(~ext_mask)
+        # every external row must be present (outer-join completion)
+        assert set(got) == set(int(fid[i]) for i in ext_idx)
+        n_checked = 0
+        for i in ext_idx:
+            # zero-shingle rows are null-tier (exact-only) by pipeline
+            # contract — no near-dup candidates (stages/candidates.py drops
+            # them from banding)
+            jacs = np.array([jaccard_sorted(sh[i], sh[j]) if len(sh[i]) and len(sh[j])
+                             else 0.0
+                             for j in cor_idx])
+            gam = np.zeros(len(jacs), np.int64)
+            gam[jacs >= cfg.jaccard_threshold] = 2
+            gam[jacs >= cfg.jaccard_hi] = 3
+            r = got[int(fid[i])]
+            if gam.max() >= 2:
+                best_g = gam.max()
+                cands = np.asarray([int(fid[cor_idx[k]]) for k in np.flatnonzero(gam == best_g)])
+                assert r["gamma"] == best_g, (i, r)
+                assert r["best_match_id"] in cands
+                assert r["n_close"] == len(cands)
+                assert r["close_match"] == (len(cands) > 1 and r["match_weight"] >= 5.0)
+                n_checked += 1
+            else:
+                # no gamma>=2 corpus candidate: either rescue-tier match or none
+                assert r["gamma"] < 2
+        assert n_checked >= 3  # fixture must actually exercise the match path
