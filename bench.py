@@ -81,13 +81,11 @@ def run_bench() -> dict:
     files_ds = ray.data.read_parquet(path)
     n_files = files_ds.count()
 
-    # warm the Ray worker pool + actor import path untimed (first execution in
-    # a fresh session spawns ~num_cpus worker processes; that cold-start cost
-    # is per-cluster, not per-byte — the bench measures steady-state). Force
-    # the full actor-pool width so every worker process exists before timing.
+    # warm the Ray worker pool + import path untimed (first execution in a
+    # fresh session spawns ~num_cpus worker processes; that cold-start cost
+    # is per-cluster, not per-byte — the bench measures steady-state).
     warm = ray.data.read_parquet(path).limit(4096)
-    warm_cfg = PipelineConfig(signature_concurrency=max(2, NUM_CPUS - 2))
-    dedupe_dataset(warm, warm_cfg)["clusters"].count()
+    dedupe_dataset(warm, PipelineConfig())["clusters"].count()
 
     t0 = time.time()
     out = dedupe_dataset(files_ds, PipelineConfig())
@@ -95,13 +93,14 @@ def run_bench() -> dict:
     headline = time.time() - t0
 
     qtimes = {}
-    qs = query_registry()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        qtimes[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        qs = query_registry()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            qtimes[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "dedup pipeline seconds (synthetic code corpus) + per-query seconds",
@@ -118,41 +117,135 @@ def run_bench() -> dict:
     return result
 
 
+def _probe_worker(stop_ns: float, q) -> None:
+    import time as _t
+
+    import numpy as _np
+
+    x = _np.arange(1_000_000, dtype=_np.uint64)
+    a = _np.uint64(0x9E3779B97F4A7C15)
+    iters = 0
+    while _t.perf_counter_ns() < stop_ns:
+        x = x * a + _np.uint64(iters)
+        x ^= x >> _np.uint64(31)
+        iters += 1
+    q.put(iters)
+
+
+def run_probe(n_procs: int, seconds: float = 3.0) -> dict:
+    """Raw-hardware probe: n processes of pure numpy uint64 multiply-add (the
+    MinHash inner loop) for ``seconds``; prints aggregate iterations/sec.
+    Run under the same taskset as a bench level, this measures how much
+    parallel compute the host ACTUALLY grants that level at this moment —
+    the denominator for noise-normalized scaling efficiency on a shared,
+    oversubscribed VM."""
+    import multiprocessing as mp
+    import time as _t
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    stop = _t.perf_counter_ns() + int(seconds * 1e9)
+    procs = [ctx.Process(target=_probe_worker, args=(stop, q)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return {"n_procs": n_procs, "iters_per_sec": round(total / seconds, 1)}
+
+
 def run_scaling() -> dict:
-    """N vs 4N CPUs in fresh processes on the same input.
+    """N vs 4N CPUs in fresh processes on the same input, REPEATED, median
+    reported.
 
     Default N=2 (2 -> 8): this sandbox advertises 32 vCPUs but a pure-numpy
     multiprocessing probe measures only ~2.4x aggregate throughput going from
     8 to 32 processes (oversubscribed vCPUs — ~16 effective hardware
     threads), so 8 -> 32 measures the hypervisor, not the pipeline. 2 -> 8
-    runs on honestly-available cores. Override with GRAFT_SCALE_LO/HI; the
-    8 -> 32 numbers are reported in BASELINE.md for transparency."""
+    runs on honestly-available cores. Override with GRAFT_SCALE_LO/HI.
+
+    The host is a shared VM with +/-40% wall-time variance between identical
+    runs, so a single pair of runs is meaningless: GRAFT_SCALE_REPEATS
+    (default 3) interleaved lo/hi pairs are run and the per-pair efficiencies
+    plus their median are reported. The scaling corpus defaults to the larger
+    GRAFT_SCALE_NBASE=60000 (105k files) so per-run fixed costs (worker
+    spawn, shuffle scheduling) don't dominate the measurement."""
+
+    nbase = os.environ.get("GRAFT_SCALE_NBASE", "60000")
+
+    import shutil as _sh
+
+    def pin(cmd: list, ncpu: int) -> list:
+        # pin the ENTIRE Ray node (driver + raylet + all workers) to ncpu
+        # physical CPUs: ray.init(num_cpus=N) only caps task scheduling slots
+        # — helper threads and the Ray control plane would otherwise spill
+        # onto the host's remaining cores and flatter the small run
+        if _sh.which("taskset"):
+            return ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        return cmd
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_NBASE=nbase,
+                   GRAFT_SKIP_QUERIES="1")
+        cmd = pin([sys.executable, os.path.abspath(__file__)], ncpu)
+        out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def probe(ncpu: int) -> float:
+        cmd = pin([sys.executable, os.path.abspath(__file__), "--probe", str(ncpu)], ncpu)
+        out = subprocess.run(cmd, env=dict(os.environ), capture_output=True,
+                             text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])["iters_per_sec"]
+
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-    r_lo, r_hi = run(lo), run(hi)
-    speedup = r_lo["value"] / r_hi["value"]
-    eff = speedup / (hi / lo)
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+    pairs = []
+    for _ in range(repeats):
+        # hardware-availability probe IMMEDIATELY around each bench pair: on
+        # this shared VM the hypervisor grants a varying number of effective
+        # cores; the probe's lo->hi speedup is the ceiling ANY program can
+        # reach at that moment, so efficiency_vs_hw = pipeline speedup /
+        # probe speedup separates pipeline scaling from host steal.
+        p_lo = probe(lo)
+        r_lo = run(lo)
+        p_hi = probe(hi)
+        r_hi = run(hi)
+        hw_speedup = p_hi / p_lo if p_lo else float("nan")
+        speedup = r_lo["value"] / r_hi["value"]
+        pairs.append({
+            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+            f"files_per_sec_{lo}": r_lo["files_per_sec"],
+            f"files_per_sec_{hi}": r_hi["files_per_sec"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (hi / lo), 3),
+            "hw_probe_speedup": round(hw_speedup, 3),
+            "efficiency_vs_hw": round(speedup / hw_speedup, 3) if hw_speedup else None,
+        })
+    effs = sorted(p["efficiency"] for p in pairs)
+    effs_hw = sorted(p["efficiency_vs_hw"] for p in pairs)
+
+    def med(v):
+        return v[len(v) // 2] if repeats % 2 else (v[repeats // 2 - 1] + v[repeats // 2]) / 2
+
     return {
-        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input)",
-        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-        f"files_per_sec_{lo}": r_lo["files_per_sec"],
-        f"files_per_sec_{hi}": r_hi["files_per_sec"],
-        "files": r_lo["files"],
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(eff, 3),
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input, {repeats} repeats)",
+        "runs": pairs,
+        "median_efficiency": round(med(effs), 3),
+        "min_efficiency": effs[0],
+        "max_efficiency": effs[-1],
+        "median_efficiency_vs_hw": round(med(effs_hw), 3),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--probe") + 1])
+        print(json.dumps(run_probe(n)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -315,6 +315,13 @@ REGISTRY: dict = {
         SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """),
+    "nested_order_history": (qr.q_nested_order_history, """
+        SELECT o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS pos,
+               o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    """),
     "hourly_event_counts": (qr.q_hourly_event_counts, """
         SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                count(*) AS n

@@ -187,7 +187,14 @@ def q_word_jaccard_pairs(sf_dir: str):
     """All-pairs word-set Jaccard >= 0.5 among doc_id < 300 — an n-gram-
     Jaccard dedup operator small enough for an exact SQL oracle. Tokens are
     lowercase \\w+ words, de-duplicated per doc (matching the SQL's
-    list_distinct(regexp_extract_all(lower(text), '\\w+')))."""
+    list_distinct(regexp_extract_all(lower(text), '\\w+'))).
+
+    SCALE LABEL: this is deliberately an ORACLE-PARITY query, bounded to
+    doc_id < 300 by contract — the broadcast word-set table and per-pair set
+    loops are sized to that bound, not to a corpus. The at-scale n-gram
+    Jaccard path is the shingle pipeline (shingle_k=1 == word sets):
+    LSH banding -> candidate pairs -> exact-Jaccard verification, exercised
+    end-to-end by minhash_dedup_clusters and link_best_match."""
     import re
 
     word = re.compile(r"\w+")
@@ -477,10 +484,20 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
         S = Qn_ @ Vn.T  # (q, n)
         nq, n = S.shape
+        # partial top-k inside the batch (combiner before the shuffle): the
+        # global top-k of per-batch top-ks is exact as long as the batch-level
+        # cut uses the SAME (cosine desc, id asc) tie-break as the global
+        # pass; shuffle volume drops from q x N rows to q x k x n_batches.
+        # Keep k+1 to survive the self-hit.
+        keep = min(k + 1, n)
+        idx = np.empty((nq, keep), dtype=np.int64)
+        for qi in range(nq):  # nq is the (small) query count, not data-sized
+            idx[qi] = np.lexsort((vec_id, -S[qi]))[:keep]
+        rowsel = np.arange(nq)[:, None]
         return pa.table({
-            "query_id": pa.array(np.repeat(qids, n), pa.int64()),
-            "neighbor_id": pa.array(np.tile(vec_id, nq), pa.int64()),
-            "cosine": pa.array(S.ravel(), pa.float64()),
+            "query_id": pa.array(np.repeat(qids, keep), pa.int64()),
+            "neighbor_id": pa.array(vec_id[idx].ravel(), pa.int64()),
+            "cosine": pa.array(S[rowsel, idx].ravel(), pa.float64()),
         })
 
     scored = emb.map_batches(score, batch_format="pyarrow", batch_size=2048)

@@ -410,6 +410,124 @@ def q_returnflag_totals(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_nested_order_history(sf_dir: str):
+    """Nested struct/array ingestion (ref explode_pds: ``name_history:
+    array<struct<...>>`` flows through the pipeline and is exploded back,
+    /root/reference/utils/dataset_ingestion_utils.py:358-453, fixture at
+    tests/dataset_ingestion_tests.py:254-271).
+
+    Builds a REAL Arrow ``list<struct<o_orderkey,o_totalprice>>`` column —
+    per customer, orders sorted newest-first — as an intermediate Dataset
+    (vectorized ``ListArray.from_arrays`` over sorted segment offsets; the
+    block-boundary keys take the same tiny deferred groupby as
+    stages/segments.py), then explodes it back with a position column. The
+    nested table is what a nested-source ingest would produce; the explode
+    proves the engine round-trips Arrow nesting."""
+    hist_type = pa.list_(pa.struct([("o_orderkey", pa.int64()),
+                                    ("o_totalprice", pa.float64())]))
+
+    srt = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"]) \
+        .sort(["o_custkey", "o_orderdate", "o_orderkey"], descending=[False, True, True])
+
+    def build_nested(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "history": pa.array([], hist_type),
+                "_defer_key": pa.array([], pa.int64()),
+                "_defer_date": pa.array([], pa.timestamp("us")),
+            })
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        defer = (ck == ck[0]) | (ck == ck[-1])
+        idx = np.flatnonzero(~defer)
+        out_ck, hist = np.empty(0, np.int64), pa.array([], hist_type)
+        if len(idx):
+            sub = batch.take(pa.array(idx))
+            karr = ck[idx]
+            bounds = np.flatnonzero(karr[1:] != karr[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(karr)]))
+            struct_arr = pa.StructArray.from_arrays(
+                [sub["o_orderkey"].combine_chunks().cast(pa.int64()),
+                 sub["o_totalprice"].combine_chunks().cast(pa.float64())],
+                ["o_orderkey", "o_totalprice"])
+            offsets = pa.array(np.concatenate((starts, [ends[-1]])).astype(np.int32))
+            hist = pa.ListArray.from_arrays(offsets, struct_arr)
+            out_ck = karr[starts]
+        d = np.flatnonzero(defer)
+        dt = batch.take(pa.array(d))
+        return pa.table({
+            "o_custkey": pa.concat_arrays([pa.array(out_ck, pa.int64()),
+                                           dt["o_custkey"].combine_chunks().cast(pa.int64())]),
+            "history": pa.concat_arrays([
+                hist.cast(hist_type),
+                pa.nulls(len(d), hist_type)]),
+            "_defer_key": pa.concat_arrays([pa.nulls(len(out_ck), pa.int64()),
+                                            dt["o_orderkey"].combine_chunks().cast(pa.int64())]),
+            "_defer_price": pa.concat_arrays([pa.nulls(len(out_ck), pa.float64()),
+                                              dt["o_totalprice"].combine_chunks().cast(pa.float64())]),
+            "_defer_date": pa.concat_arrays([pa.nulls(len(out_ck), pa.timestamp("us")),
+                                             dt["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))]),
+        })
+
+    nested = srt.map_batches(build_nested, batch_format="pyarrow", batch_size=None) \
+        .materialize()
+
+    interior = nested.map_batches(
+        lambda t: t.filter(pa.array(~np.asarray(pc.is_null(t["history"]).to_pylist())))
+                   .select(["o_custkey", "history"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # boundary keys (may straddle blocks): exploded directly per group —
+    # identical output rows, just without the nested intermediate
+    def group_explode(g: dict) -> dict:
+        key = np.asarray(g["_defer_key"], dtype=np.int64)
+        date = np.asarray(g["_defer_date"]).astype("datetime64[us]").astype(np.int64)
+        price = np.asarray(g["_defer_price"], dtype=np.float64)
+        order = np.lexsort((-key, -date))
+        n = len(key)
+        return {
+            "o_custkey": np.full(n, int(np.asarray(g["o_custkey"])[0]), np.int64),
+            "pos": np.arange(1, n + 1, dtype=np.int64),
+            "o_orderkey": key[order],
+            "o_totalprice": np.round(price[order], 2),
+        }
+
+    deferred = nested.map_batches(
+        lambda t: t.filter(pa.array(np.asarray(pc.is_null(t["history"]).to_pylist())))
+                   .select(["o_custkey", "_defer_key", "_defer_price", "_defer_date"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    boundary = deferred.groupby("o_custkey").map_groups(group_explode, batch_format="numpy")
+
+    def cast_boundary(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"].combine_chunks().cast(pa.int64()),
+            "pos": batch["pos"].combine_chunks().cast(pa.int64()),
+            "o_orderkey": batch["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "o_totalprice": batch["o_totalprice"].combine_chunks().cast(pa.float64()),
+        })
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["history"].combine_chunks()
+        offs = np.asarray(col.offsets)
+        counts = np.diff(offs)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        flat = col.flatten()
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) \
+            else np.array([], dtype=np.int64)
+        return pa.table({
+            "o_custkey": pa.array(np.repeat(ck, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "o_orderkey": flat.field("o_orderkey"),
+            "o_totalprice": pa.array(
+                np.round(np.asarray(flat.field("o_totalprice")), 2), pa.float64()),
+        })
+
+    return interior.map_batches(explode, batch_format="pyarrow").union(
+        boundary.map_batches(cast_boundary, batch_format="pyarrow"))
+
+
 def q_hourly_event_counts(sf_dir: str):
     """Streaming-shaped tumbling window: events per (event_type, hour).
     Ray Data has no event-time windows (nor does the reference — SURVEY.md

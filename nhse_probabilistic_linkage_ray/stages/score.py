@@ -86,6 +86,34 @@ class FeatureIndex:
         return (sigs[r], np.uint64(simh[r]),
                 shv[sho[r]:sho[r + 1]], thv[tho[r]:tho[r + 1]])
 
+    def gather(self, ids: np.ndarray, num_perms: int):
+        """Vectorized batch gather: ONE searchsorted over all ids + per-block
+        fancy indexing (replaces a per-row Python __getitem__ loop). The only
+        remaining per-row work is slicing the ragged shingle/token views —
+        zero-copy numpy views, no hashing or search."""
+        n = len(ids)
+        i = np.searchsorted(self.sorted_fid, ids)
+        if len(self.sorted_fid) == 0 or np.any(i >= len(self.sorted_fid)) \
+                or np.any(self.sorted_fid[np.minimum(i, len(self.sorted_fid) - 1)] != ids):
+            missing = ids[(i >= len(self.sorted_fid))
+                          | (self.sorted_fid[np.minimum(i, len(self.sorted_fid) - 1)] != ids)]
+            raise KeyError(int(missing[0]))
+        locs = self.sorted_loc[i]
+        sig = np.empty((n, num_perms), dtype=np.uint64)
+        sim = np.empty(n, dtype=np.uint64)
+        sh: list = [None] * n
+        th: list = [None] * n
+        for b in np.unique(locs[:, 0]):
+            m = locs[:, 0] == b
+            rows = locs[m, 1]
+            _fid, sigs, simh, shv, sho, thv, tho = self.views[b]
+            sig[m] = sigs[rows]
+            sim[m] = np.asarray(simh, dtype=np.uint64)[rows]
+            for out_i, r in zip(np.flatnonzero(m), rows):
+                sh[out_i] = shv[sho[r]:sho[r + 1]]
+                th[out_i] = thv[tho[r]:tho[r + 1]]
+        return sig, sim, sh, th
+
 
 def _features_to_dict(sig_table: pa.Table, num_perms: int) -> FeatureIndex:
     """Single-table convenience used by the join path."""
@@ -149,21 +177,25 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
     n = len(left)
     P = cfg.num_perms
 
-    sigL = np.empty((n, P), dtype=np.uint64)
-    sigR = np.empty((n, P), dtype=np.uint64)
-    simL = np.empty(n, dtype=np.uint64)
-    simR = np.empty(n, dtype=np.uint64)
     # threshold comparisons at DOUBLE precision (a float32 round of an exact
     # rational like 7/10 lands below the 0.7 threshold); stored as float32
     jac = np.zeros(n, dtype=np.float64)
-    shL, shR, thL, thR = [], [], [], []
-    for i in range(n):
-        fl = features[int(left[i])]
-        fr = features[int(right[i])]
-        sigL[i], simL[i] = fl[0], fl[1]
-        sigR[i], simR[i] = fr[0], fr[1]
-        shL.append(fl[2]); shR.append(fr[2])
-        thL.append(fl[3]); thR.append(fr[3])
+    if hasattr(features, "gather"):
+        sigL, simL, shL, thL = features.gather(left, P)
+        sigR, simR, shR, thR = features.gather(right, P)
+    else:
+        sigL = np.empty((n, P), dtype=np.uint64)
+        sigR = np.empty((n, P), dtype=np.uint64)
+        simL = np.empty(n, dtype=np.uint64)
+        simR = np.empty(n, dtype=np.uint64)
+        shL, shR, thL, thR = [], [], [], []
+        for i in range(n):
+            fl = features[int(left[i])]
+            fr = features[int(right[i])]
+            sigL[i], simL[i] = fl[0], fl[1]
+            sigR[i], simR[i] = fr[0], fr[1]
+            shL.append(fl[2]); shR.append(fr[2])
+            thL.append(fl[3]); thR.append(fr[3])
 
     est = (sigL == sigR).mean(axis=1).astype(np.float32)
     ham = hamming_distance(simL, simR)
@@ -261,16 +293,16 @@ def score_stage(
         strategy = "broadcast" if rows <= BROADCAST_ROW_LIMIT else "join"
 
     if strategy == "broadcast":
-        feat_cols = signatures_ds.select_columns(
-            ["file_id", "minhash", "simhash", "shingles", "token_hashes"]
-        )
-        # hand tasks the Arrow block refs — blocks stay in the object store,
-        # each (warm, reused) worker reads them zero-copy and caches its
-        # FeatureIndex in a process-global keyed by run
+        # hand tasks the signature table's OWN Arrow block refs — blocks stay
+        # in the object store, each (warm, reused) worker reads them zero-copy
+        # and caches its FeatureIndex in a process-global keyed by run.
+        # FeatureIndex picks the columns it needs by name, so no projection
+        # pass / extra materialize is paid; the unused columns are shared
+        # plasma memory, not copies.
         import uuid
 
         block_refs = tuple(r[0] if isinstance(r, tuple) else r
-                           for r in feat_cols.materialize().to_arrow_refs())
+                           for r in signatures_ds.materialize().to_arrow_refs())
         cache_key = uuid.uuid4().hex
         # cap concurrent scorer tasks at ~8: each first-task-per-worker builds
         # the FeatureIndex over the shared blocks, and 30+ simultaneous builds

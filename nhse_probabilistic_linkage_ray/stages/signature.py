@@ -71,28 +71,49 @@ class SignatureActor:
         })
 
 
+# Worker-process-global per-worker state for the task-based path: Ray task
+# workers persist across tasks, so the MinHasher/config state is constructed
+# once per worker per config — the once-per-worker amortization of an actor
+# pool without the pool. Measured on the bench corpus (29k reps, 8 CPUs):
+# task path 4.8-8.0 s vs actor pool 20.5 s — a fresh actor POOL per stage
+# call pays ~6 process spawns plus per-actor queueing, while the state it
+# amortizes (a 2-coefficient permutation, microseconds to build) never
+# justified it. The actor-pool path remains selectable
+# (config.signature_concurrency > 0) for stages whose per-worker state is
+# genuinely expensive (model weights, big dictionaries — SURVEY.md T1).
+_SIG_CACHE: dict = {}
+
+
+def _signature_task(batch: pa.Table, cfg_json: str) -> pa.Table:
+    actor = _SIG_CACHE.get(cfg_json)
+    if actor is None:
+        _SIG_CACHE.clear()  # hold one config's state per worker
+        actor = SignatureActor(cfg_json)
+        _SIG_CACHE[cfg_json] = actor
+    return actor(batch)
+
+
 def signature_stage(
     reps_ds: "ray.data.Dataset", config: PipelineConfig, *, rows_hint: int | None = None
 ) -> "ray.data.Dataset":
-    """Representatives -> signatures. Actor pool sized to the cluster's CPUs
-    (so throughput scales with cluster size, the N -> 4N criterion) and capped
-    by the work available (rows_hint) so small runs don't pay 30 actor
-    startups for 9 batches."""
+    """Representatives -> signatures. Default: task pool with worker-global
+    state (scales with whatever CPUs exist — the N -> 4N criterion — and
+    pays zero pool-startup); set ``config.signature_concurrency`` for an
+    explicit actor pool."""
     if config.signature_concurrency > 0:
-        pool = config.signature_concurrency
-    else:
-        # leave headroom for the upstream read/filter tasks — an actor pool
-        # that reserves every CPU starves its own input and deadlocks
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        pool = max(2, cpus - 2)
-        if rows_hint is not None:
-            pool = max(2, min(pool, -(-rows_hint // config.batch_size)))
+        return reps_ds.map_batches(
+            SignatureActor,
+            fn_constructor_args=(config.to_json(),),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.signature_concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
     return reps_ds.map_batches(
-        SignatureActor,
-        fn_constructor_args=(config.to_json(),),
+        _signature_task,
+        fn_kwargs={"cfg_json": config.to_json()},
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=pool,
-        num_cpus=1,
         zero_copy_batch=True,
     )

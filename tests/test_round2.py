@@ -281,3 +281,105 @@ class TestLinkingMode:
                 # no gamma>=2 corpus candidate: either rescue-tier match or none
                 assert r["gamma"] < 2
         assert n_checked >= 3  # fixture must actually exercise the match path
+
+
+class TestNumpyMediaDecoder:
+    def test_ppm_roundtrip_dims_and_embedding(self):
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            NumpyMediaDecoder,
+            synthetic_ppm,
+        )
+
+        dec = NumpyMediaDecoder()
+        p = synthetic_ppm(20, 12, seed=7)
+        out = dec.decode([p], ["image/x-portable-pixmap"])
+        assert out["width"][0] == 20 and out["height"][0] == 12
+        assert out["embedding"].shape == (1, 16)
+        assert 0.0 <= out["embedding"].min() and out["embedding"].max() <= 1.0
+        # deterministic
+        out2 = dec.decode([p], ["image/x-portable-pixmap"])
+        assert np.array_equal(out["embedding"], out2["embedding"])
+        # a solid-black image pools to all-zero features
+        black = b"P6\n8 8\n255\n" + b"\x00" * (8 * 8 * 3)
+        ob = dec.decode([black], ["image/x-portable-pixmap"])
+        assert np.allclose(ob["embedding"], 0.0)
+
+    def test_wav_parse_and_energy(self):
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            NumpyMediaDecoder,
+            synthetic_wav,
+        )
+
+        dec = NumpyMediaDecoder()
+        p = synthetic_wav(3200, sample_rate=8000, seed=3)
+        out = dec.decode([p], ["audio/wav"])
+        assert out["width"][0] == 3200      # n_samples
+        assert out["height"][0] == 8000     # sample rate
+        assert out["embedding"].shape == (1, 16)
+        assert out["embedding"].max() > 0   # noise has energy
+        # silence -> zero energy everywhere
+        silent = synthetic_wav(1600, seed=0)
+        import numpy as _np
+        silent = silent[:44] + b"\x00" * (len(silent) - 44)
+        os_ = dec.decode([silent], ["audio/wav"])
+        assert _np.allclose(os_["embedding"], 0.0)
+
+    def test_unknown_type_raises_seam(self):
+        from nhse_probabilistic_linkage_ray.stages.multimodal import NumpyMediaDecoder
+
+        with pytest.raises(NotImplementedError):
+            NumpyMediaDecoder().decode([b"x"], ["image/png"])
+
+    def test_end_to_end_stage_with_real_decoder(self, ray_session):
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            NumpyMediaDecoder,
+            media_feature_stage,
+            synthetic_decodable_media_table,
+        )
+
+        t = synthetic_decodable_media_table(n=24)
+        out = media_feature_stage(ray.data.from_arrow(t),
+                                  decoder_cls=NumpyMediaDecoder,
+                                  concurrency=2).take_all()
+        assert len(out) == 24
+        assert all(len(r["embedding"]) == 16 for r in out)
+        assert all(r["width"] > 0 for r in out)
+
+
+class TestIvfPartitionPrunedIndex:
+    def test_indexed_probe_matches_inflight_ivf(self, ray_session, tmp_path):
+        """build_ivf_index + ann_ivf_topk_indexed (partition-pruned read)
+        must return exactly what the in-flight IVF path returns for the same
+        centroids/probe config — same deterministic k-means, same candidate
+        cells, same top-k."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.pipelines.similarity import (
+            ann_ivf_topk,
+            ann_ivf_topk_indexed,
+            build_ivf_index,
+        )
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        idx_dir = str(tmp_path / "ivf")
+        build_ivf_index(emb, idx_dir, n_centroids=16, sample_limit=2048)
+
+        q_rows = [r for r in emb.take_all() if r["vec_id"] < 5]
+        q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+
+        got = sorted((r["query_id"], r["neighbor_id"], r["cosine"])
+                     for r in ann_ivf_topk_indexed(idx_dir, Q, q_ids, k=10, nprobe=4).take_all())
+        want = sorted((r["query_id"], r["neighbor_id"], r["cosine"])
+                      for r in ann_ivf_topk(SF, n_queries=5, k=10, n_centroids=16,
+                                            nprobe=4).take_all())
+        assert got == want
+        assert len(got) == 50
+        # structural pruning evidence: the index directory is partitioned by
+        # centroid and a probe touches only its selected partitions
+        import os
+
+        parts = [d for d in os.listdir(idx_dir) if d.startswith("centroid=")]
+        assert len(parts) > 4  # more cells exist than one probe reads
