@@ -378,7 +378,10 @@ def q_join_lineitem_orders(sf_dir: str):
 
     li = _t(sf_dir, "lineitem", ["l_orderkey"])
     od = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = li.join(od, join_type="inner", num_partitions=join_partitions(DEFAULT_CONFIG),
+    # row counts of fresh parquet reads are metadata-only — size the join to
+    # the data, not the CPU count
+    k = join_partitions(DEFAULT_CONFIG, rows=max(li.count(), od.count()))
+    j = li.join(od, join_type="inner", num_partitions=k,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     return j.groupby("o_orderpriority").aggregate(Count(alias_name="n_lines"))
 

@@ -130,7 +130,8 @@ def exact_group_stage(ingested: "ray.data.Dataset", config: PipelineConfig) -> "
     from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
 
     return ingested.join(rep_map, join_type="inner",
-                         num_partitions=join_partitions(config), on=("group_key",))
+                         num_partitions=join_partitions(config, rows=rep_map.count()),
+                         on=("group_key",))
 
 
 def exact_edges(exact_mapped: "ray.data.Dataset") -> "ray.data.Dataset":

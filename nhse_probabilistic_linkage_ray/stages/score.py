@@ -288,8 +288,9 @@ def score_stage(
     pairs_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Candidate pairs + signatures -> scored pairs."""
+    rows = signature_rows
     if strategy == "auto":
-        rows = signature_rows if signature_rows is not None else signatures_ds.count()
+        rows = rows if rows is not None else signatures_ds.count()
         strategy = "broadcast" if rows <= BROADCAST_ROW_LIMIT else "join"
 
     if strategy == "broadcast":
@@ -348,7 +349,7 @@ def score_stage(
         ["file_id", "minhash", "simhash", "shingles", "token_hashes"]
     ).map_batches(pack_lists, batch_format="pyarrow", zero_copy_batch=True)
 
-    k = join_partitions(config)
+    k = join_partitions(config, rows=rows)
     joined = pairs_ds.join(
         feat, join_type="inner", num_partitions=k,
         on=("left_id",), right_on=("file_id",),

@@ -383,3 +383,25 @@ class TestIvfPartitionPrunedIndex:
 
         parts = [d for d in os.listdir(idx_dir) if d.startswith("centroid=")]
         assert len(parts) > 4  # more cells exist than one probe reads
+
+
+class TestCrossPartitioningDeterminism:
+    def test_same_clusters_any_block_structure(self, ray_session, small_corpus):
+        """Cluster output must be a pure function of (config, data) — not of
+        block structure or batch size (SURVEY §7.4: identical outputs at any
+        parallelism level; the reference's monotonically_increasing_id breaks
+        exactly this, which file_id = hash64(identity) fixes)."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import PipelineConfig
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+
+        base = PipelineConfig(num_perms=64, num_bands=16)
+        small_batches = PipelineConfig(num_perms=64, num_bands=16, batch_size=64)
+
+        a = dedupe_dataset(ray.data.from_arrow(small_corpus), base)["clusters"].take_all()
+        b = dedupe_dataset(ray.data.from_arrow(small_corpus).repartition(7),
+                           small_batches)["clusters"].take_all()
+        da = {r["file_id"]: r["cluster_id"] for r in a}
+        db = {r["file_id"]: r["cluster_id"] for r in b}
+        assert da == db
