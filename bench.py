@@ -65,8 +65,9 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     # default min_parallelism is 200: every sort-shuffle schedules 200 reduce
     # tasks regardless of cluster width — a CPU-independent constant that
-    # dominates small clusters. Size it to the cluster.
-    ctx.min_parallelism = max(8, 4 * NUM_CPUS)
+    # dominates small clusters. Size it to the cluster (2x CPUs measured
+    # slightly ahead of 4x at this data scale).
+    ctx.min_parallelism = max(8, 2 * NUM_CPUS)
 
     from nhse_probabilistic_linkage_ray.config import PipelineConfig
     from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset

@@ -62,7 +62,11 @@ def simhash(flat_shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized popcount(a XOR b) over uint64 arrays -> uint8."""
+    """Vectorized popcount(a XOR b) over uint64 arrays -> uint8.
+    Inputs broadcast (e.g. (b, 1) vs (1, n) for a blockwise pair matrix);
+    output has the broadcast shape."""
     x = (np.asarray(a, dtype=_U64) ^ np.asarray(b, dtype=_U64))
-    bytes_view = x.view(np.uint8).reshape(len(x), 8)
-    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.uint8)
+    shape = x.shape
+    flat = x.reshape(-1)
+    bytes_view = flat.view(np.uint8).reshape(len(flat), 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.uint8).reshape(shape)

@@ -348,11 +348,20 @@ def simhash_near_pairs(
                     "hamming": np.empty(0, np.int64)}
         order = np.argsort(did)
         did, h = did[order], h[order]
-        li, ri = np.triu_indices(n, k=1)
-        d = hamming_distance(h[li], h[ri])
-        keep = d <= hamming_max
-        return {"left_id": did[li[keep]], "right_id": did[ri[keep]],
-                "hamming": d[keep].astype(np.int64)}
+        # blockwise upper triangle: memory stays O(block x n) even for a hot
+        # chunk value shared by a huge group (exact output, no n^2 cliff)
+        B = 1024
+        L, R, D = [], [], []
+        for s in range(0, n - 1, B):
+            e = min(s + B, n)
+            rows = np.arange(s, e)
+            d = hamming_distance(h[rows][:, None], h[None, :])  # (b, n)
+            li, ri = np.nonzero((d <= hamming_max) & (rows[:, None] < np.arange(n)[None, :]))
+            L.append(did[rows[li]]); R.append(did[ri])
+            D.append(d[li, ri].astype(np.int64))
+        return {"left_id": np.concatenate(L) if L else np.empty(0, np.int64),
+                "right_id": np.concatenate(R) if R else np.empty(0, np.int64),
+                "hamming": np.concatenate(D) if D else np.empty(0, np.int64)}
 
     exploded = sigs_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     pairs = exploded.groupby("chunk_key").map_groups(verify, batch_format="numpy")

@@ -183,9 +183,11 @@ def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -
     sorted block. Only the ~2 keys per block that may straddle block
     boundaries take a (tiny) groupby second pass — no driver-side state, no
     per-singleton-group Python calls."""
-    from nhse_probabilistic_linkage_ray.stages.util import ensure_blocks
-
-    bands = ensure_blocks(band_explode(signatures_ds, config).materialize())
+    # no materialize before the sort: band_explode is a narrow map over the
+    # (already materialized, >=2x-CPUs-wide) signature blocks, so the sort's
+    # map phase has full parallelism and the explode fuses into it — one
+    # fewer full pass over the band table
+    bands = band_explode(signatures_ds, config)
     scanned = bands.sort("band_hash").map_batches(
         _scan_sorted_block,
         fn_kwargs={"max_band_group": config.max_band_group,
