@@ -113,6 +113,13 @@ class PipelineConfig:
     tf_minimum_u_value: float = 0.0
     tf_tier: int = GAMMA_EXACT          # gamma level the adjustment applies to
 
+    # --- scorer plugin (ref custom UDF registration,
+    #     /root/reference/predict_dedupe.py:11; SURVEY.md §2.10): name of a
+    #     callable registered via stages.score.register_tier_scorer. ELSE-tier
+    #     pairs whose plugin score >= plugin_threshold lift to the rescue tier.
+    plugin_scorer: str = ""
+    plugin_threshold: float = 0.5
+
     @property
     def rows_per_band(self) -> int:
         assert self.num_perms % self.num_bands == 0

@@ -42,6 +42,43 @@ from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
 
 BROADCAST_ROW_LIMIT = 300_000  # feature rows below this are ray.put-broadcast
 
+# ---------------------------------------------------------------- plugins
+# User-extension surface (SURVEY.md §2.10): the analog of the reference's
+# custom UDF registration (``jaro_winkler_udf`` at
+# /root/reference/predict_dedupe.py:11). A plugin is a callable
+# ``fn(shingles_l, shingles_r, tokens_l, tokens_r) -> np.ndarray[float]``
+# (one score per pair, given each side's shingle-hash set and ordered token
+# hashes). Selected per run via ``config.plugin_scorer`` + threshold: pairs
+# the built-in tiers leave at ELSE whose plugin score clears
+# ``plugin_threshold`` are lifted to the rescue tier — a user-defined
+# comparison level without touching engine code. Registration is per
+# process; Ray workers import this module, so register at import time of
+# YOUR module (the same deployment contract as Spark UDF registration).
+TIER_SCORERS: dict = {}
+
+
+def register_tier_scorer(name: str, fn) -> None:
+    TIER_SCORERS[name] = fn
+
+
+def _plugin_scores(name: str, shL, shR, thL, thR) -> np.ndarray:
+    fn = TIER_SCORERS.get(name)
+    if fn is None and ":" in name:
+        # "module.path:callable" — resolvable in ANY worker process and
+        # JSON-serializable through the config (callables are not); the
+        # form a deployment should prefer
+        import importlib
+
+        mod, attr = name.split(":", 1)
+        fn = getattr(importlib.import_module(mod), attr)
+        TIER_SCORERS[name] = fn
+    if fn is None:
+        raise KeyError(
+            f"plugin scorer {name!r} is not registered in this worker — "
+            f"use a 'module:function' path or call register_tier_scorer() "
+            f"at module import time")
+    return np.asarray(fn(shL, shR, thL, thR), dtype=np.float64)
+
 
 def _block_views(sig_table: pa.Table, num_perms: int) -> tuple:
     """Zero-copy numpy views over one Arrow block of the signatures table."""
@@ -118,6 +155,16 @@ class FeatureIndex:
 def _features_to_dict(sig_table: pa.Table, num_perms: int) -> FeatureIndex:
     """Single-table convenience used by the join path."""
     return FeatureIndex([sig_table], num_perms)
+
+
+def _rescore_from_gamma(cfg: PipelineConfig, gamma: np.ndarray):
+    """Recompute (weight, probability, tier) from an already-decided gamma
+    array (used after a plugin lifts tiers)."""
+    weights = np.array([cfg.match_weight(g) for g in range(5)], dtype=np.float64)
+    w = weights[gamma]
+    prob = (2.0 ** w) / (1.0 + 2.0 ** w)
+    tier = np.array([TIER_NAMES[g] for g in gamma.tolist()], dtype=object)
+    return gamma, w, prob, tier
 
 
 def _score_arrays(cfg: PipelineConfig, est, jac, ham, lcs):
@@ -213,6 +260,17 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa
         lcs[i] = lcs_fraction(thL[i], thR[i])
 
     gamma, w, prob, tier = _score_arrays(cfg, est, jac, ham, lcs)
+
+    # user-registered comparison level (§2.10): lift ELSE pairs whose plugin
+    # score clears the threshold into the rescue tier
+    if cfg.plugin_scorer:
+        ps = _plugin_scores(cfg.plugin_scorer, shL, shR, thL, thR)
+        lift = (gamma == GAMMA_ELSE) & (ps >= cfg.plugin_threshold)
+        if lift.any():
+            gamma = gamma.copy()
+            gamma[lift] = GAMMA_RESCUED
+            gamma, w, prob, tier = _rescore_from_gamma(cfg, gamma)
+
     out = pa.table({
         "left_id": pa.array(left, pa.int64()),
         "right_id": pa.array(right, pa.int64()),

@@ -405,3 +405,54 @@ class TestCrossPartitioningDeterminism:
         da = {r["file_id"]: r["cluster_id"] for r in a}
         db = {r["file_id"]: r["cluster_id"] for r in b}
         assert da == db
+
+
+class TestScorerPlugin:
+    def test_plugin_lifts_else_pairs_to_rescue(self, ray_session):
+        """User-registered comparison level (SURVEY §2.10; ref custom UDF
+        registration predict_dedupe.py:11): a token-overlap plugin lifts a
+        below-threshold pair into the rescue tier; without the plugin the
+        same pair stays at ELSE."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import (
+            GAMMA_ELSE,
+            GAMMA_RESCUED,
+            PipelineConfig,
+        )
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+
+        plugin = ("nhse_probabilistic_linkage_ray.functions.plugins"
+                  ":token_overlap_scorer")
+
+        # shared 60-word prefix + distinct 30-word suffixes: shingle Jaccard
+        # ~0.5 (bands collide at r=2, below the 0.7 link tier) while token
+        # overlap ~0.5 clears the plugin threshold
+        prefix = " ".join(f"w{i}" for i in range(60))
+        a = prefix + " " + " ".join(f"a{i}" for i in range(30))
+        b = prefix + " " + " ".join(f"b{i}" for i in range(30))
+        filler = [" ".join(f"x{i}{j}" for j in range(40)) for i in range(6)]
+        t = pa.table({
+            "repo": pa.array(["r"] * 8),
+            "path": pa.array([f"f{i}.txt" for i in range(8)]),
+            "commit": pa.array(["c"] * 8),
+            "lang": pa.array(["text"] * 8),
+            "content": pa.array([a, b] + filler, pa.large_string()),
+        })
+        base = PipelineConfig(num_perms=64, num_bands=32, rescue_low=0.0,
+                              simhash_hamming_max=0, lcs_frac_threshold=1.01)
+        plug = PipelineConfig(num_perms=64, num_bands=32, rescue_low=0.0,
+                              simhash_hamming_max=0, lcs_frac_threshold=1.01,
+                              plugin_scorer=plugin, plugin_threshold=0.4)
+
+        def gammas(cfg):
+            out = dedupe_dataset(ray.data.from_arrow(t), cfg)["scored_pairs"].take_all()
+            return {(r["left_id"], r["right_id"]): r["gamma"] for r in out}
+
+        gb = gammas(base)
+        gp = gammas(plug)
+        # the shuffled pair must be a candidate in both runs (identical
+        # banding) and lift only under the plugin
+        assert any(g == GAMMA_ELSE for g in gb.values())
+        lifted = [k for k in gb if gb[k] == GAMMA_ELSE and gp.get(k) == GAMMA_RESCUED]
+        assert lifted, (gb, gp)
