@@ -164,3 +164,44 @@ def link_datasets(
         unmatched, batch_format="pyarrow", zero_copy_batch=True)
     return matched.map_batches(cast, batch_format="pyarrow").union(
         no_match.map_batches(cast, batch_format="pyarrow"))
+
+
+def run_link(
+    external_path: str,
+    corpus_path: str,
+    workdir: str,
+    config: PipelineConfig | None = None,
+    *,
+    close_matches_threshold: float = 5.0,
+    match_weight_threshold: float = 5.0,
+    resume: bool = True,
+) -> dict:
+    """Checkpointed linking run over two Parquet files tables — the analog of
+    ``predict_linking`` writing its MATCH_PROBABILITIES and BEST_MATCH tables
+    (``/root/reference/predict_linking.py:142-160``): ``best_matches/`` is
+    written under ``workdir`` with a manifest keyed by (config hash, combined
+    input fingerprint); an unchanged rerun reuses it, a changed input or
+    config recomputes."""
+    import os
+
+    import ray.data
+
+    from nhse_probabilistic_linkage_ray.state import manifests
+
+    config = config or PipelineConfig()
+    os.makedirs(workdir, exist_ok=True)
+    fp = (manifests.input_fingerprint(external_path) + "+"
+          + manifests.input_fingerprint(corpus_path)
+          + f"+cmt{close_matches_threshold}+mwt{match_weight_threshold}")
+    ch = config.config_hash
+
+    d = os.path.join(workdir, "best_matches")
+    if resume and manifests.is_complete(d, ch, fp):
+        return {"best_matches": manifests.load(d), "workdir": workdir}
+    res = link_datasets(
+        ray.data.read_parquet(external_path), ray.data.read_parquet(corpus_path),
+        config, close_matches_threshold=close_matches_threshold,
+        match_weight_threshold=match_weight_threshold)
+    out = manifests.checkpoint(res, d, stage="best_matches", config_hash=ch,
+                               input_fingerprint=fp)
+    return {"best_matches": out, "workdir": workdir}

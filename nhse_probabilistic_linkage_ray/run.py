@@ -24,12 +24,18 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Ray-Data-native code dedup pipeline")
     ap.add_argument("--input", required=True, help="Parquet files table (repo,path,commit,lang,content)")
     ap.add_argument("--workdir", required=True, help="checkpoint + output directory")
+    ap.add_argument("--mode", choices=("dedupe", "link"), default="dedupe",
+                    help="dedupe the input, or link it (as the external table) "
+                         "against --corpus (ref dual-mode run_pipeline.py:16)")
+    ap.add_argument("--corpus", help="corpus Parquet files table (link mode)")
     ap.add_argument("--config", help="PipelineConfig JSON file (default: defaults)")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: autodetect)")
     ap.add_argument("--save-model", help="model store dir to record the config in")
     ap.add_argument("--description", default="", help="model description for --save-model")
     args = ap.parse_args(argv)
+    if args.mode == "link" and not args.corpus:
+        ap.error("--mode link requires --corpus")
 
     from nhse_probabilistic_linkage_ray.config import PipelineConfig
 
@@ -48,12 +54,19 @@ def main(argv=None) -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
+    if args.mode == "link":
+        from nhse_probabilistic_linkage_ray.pipelines.linking import run_link
 
-    out = run_dedupe(args.input, args.workdir, config, resume=not args.no_resume)
-    n = out["clusters"].count()
+        out = run_link(args.input, args.corpus, args.workdir, config,
+                       resume=not args.no_resume)
+        n = out["best_matches"].count()
+    else:
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
+
+        out = run_dedupe(args.input, args.workdir, config, resume=not args.no_resume)
+        n = out["clusters"].count()
     print(json.dumps({"workdir": args.workdir, "config_hash": config.config_hash,
-                      "rows": n}))
+                      "mode": args.mode, "rows": n}))
 
     if args.save_model:
         from nhse_probabilistic_linkage_ray.sources.model_store import save_model

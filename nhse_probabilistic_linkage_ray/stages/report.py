@@ -52,6 +52,7 @@ def confusion_one_pass(
     scored_ds: "ray.data.Dataset",
     truth_pairs: set,
     thresholds: list,
+    score_col: str = "match_probability",
 ) -> "pa.Table":
     """Per-threshold TP/FP (+ FN derived from truth size) in ONE streaming
     pass: each batch contributes a (threshold x outcome) partial count matrix;
@@ -68,7 +69,7 @@ def confusion_one_pass(
         truth = _ray.get(truth_ref)
         l = batch["left_id"].to_numpy(zero_copy_only=False)
         r = batch["right_id"].to_numpy(zero_copy_only=False)
-        p = batch["match_probability"].to_numpy(zero_copy_only=False)
+        p = batch[score_col].to_numpy(zero_copy_only=False)
         is_true = np.fromiter(
             ((int(l[i]), int(r[i])) in truth or (int(r[i]), int(l[i])) in truth
              for i in range(len(l))), dtype=bool, count=len(l))

@@ -456,3 +456,41 @@ class TestScorerPlugin:
         assert any(g == GAMMA_ELSE for g in gb.values())
         lifted = [k for k in gb if gb[k] == GAMMA_ELSE and gp.get(k) == GAMMA_RESCUED]
         assert lifted, (gb, gp)
+
+
+class TestEvaluatePipeline:
+    def test_metrics_vs_oracle(self, ray_session, small_corpus):
+        """evaluate_dedupe over the flagship run vs the brute-force oracle's
+        truth pairs: perfect recall/agreement on the fixture, empty missed
+        list; injecting a fake truth pair surfaces it as missed (ref
+        missed-duplicate analysis, evaluation_dedupe.py:112-126)."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import PipelineConfig
+        from nhse_probabilistic_linkage_ray.oracle import brute_force
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+        from nhse_probabilistic_linkage_ray.pipelines.evaluate import evaluate_dedupe
+
+        cfg = PipelineConfig(num_perms=64, num_bands=16)
+        out = dedupe_dataset(ray.data.from_arrow(small_corpus), cfg)
+        oracle = brute_force(small_corpus, cfg)
+
+        m = evaluate_dedupe(out["scored_pairs"], out["clusters"], oracle.dup_pairs,
+                            exact_mapped_ds=out["exact_mapped"], config=cfg)
+        assert m["cluster_pair_agreement"] == 1.0
+        assert m["n_missed"] == 0 and m["missed_pairs"] == []
+        assert m["pair_precision"] == 1.0
+        assert m["pair_recall"] > 0  # the gamma-based decision finds real pairs
+        assert m["confusion"].num_rows == 5  # one row per threshold
+        rec = m["confusion"]["recall"].to_pylist()
+        assert rec[0] >= rec[-1]  # recall monotone non-increasing in threshold
+        assert rec[0] > 0  # lowest weight threshold captures scored truth pairs
+
+        # inject an impossible truth pair -> must be reported missed
+        fids = sorted({r["file_id"] for r in out["clusters"].take_all()})
+        fake = (fids[0], fids[-1])
+        truth2 = set(oracle.dup_pairs) | {fake}
+        m2 = evaluate_dedupe(out["scored_pairs"], out["clusters"], truth2)
+        if fake not in {tuple(sorted(p)) for p in oracle.dup_pairs}:
+            assert m2["n_missed"] == 1
+            assert tuple(m2["missed_pairs"][0]) == (min(fake), max(fake))
