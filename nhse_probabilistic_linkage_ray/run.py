@@ -52,7 +52,11 @@ def main(argv=None) -> int:
                  include_dashboard=False, ignore_reinit_error=True)
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # size shuffle parallelism to the cluster (the 200-task default is a
+    # CPU-independent constant that dominates small clusters)
+    ctx.min_parallelism = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
     if args.mode == "link":
         from nhse_probabilistic_linkage_ray.pipelines.linking import run_link

@@ -57,9 +57,13 @@ def band_explode(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -> "
             pa.array(batch["n_shingles"].to_numpy(zero_copy_only=False) > 0)
         ).select(["file_id", "minhash"])
 
+    # batch_size=None => one task per input block. A row-count batch size
+    # here makes Ray BUNDLE blocks into ~batch_size-row tasks, collapsing a
+    # 16-block input to 3-4 tasks and starving the sort that follows
+    # (observed in ds.stats(): "3 tasks executed" on an 8-CPU run).
     return signatures_ds.map_batches(
         shingled_only, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(explode, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True)
+    ).map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def _emit_pairs(group: dict, max_band_group: int, max_pairs: int) -> dict:
