@@ -151,6 +151,119 @@ class NumpyMediaDecoder(MediaDecoder):
         return len(samples), rate, rms.astype(np.float32)
 
 
+def _parse_ppm(p: bytes):
+    parts = p.split(maxsplit=4)
+    if len(parts) < 5 or parts[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h = int(parts[1]), int(parts[2])
+    raw = p[len(p) - w * h * 3:]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), w, h
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Pure-numpy PPM resize (area-mean downsample / nearest upsample) —
+    the media 'resize' transform, re-emitting a valid P6 payload."""
+    img, w, h = _parse_ppm(payload)
+    ys = (np.arange(out_h) * h // out_h)
+    xs = (np.arange(out_w) * w // out_w)
+    ye = np.maximum((np.arange(1, out_h + 1) * h) // out_h, ys + 1)
+    xe = np.maximum((np.arange(1, out_w + 1) * w) // out_w, xs + 1)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    f = img.astype(np.float32)
+    for yi in range(out_h):  # out_h is the (small) TARGET height, not data-sized
+        rows = f[ys[yi]:ye[yi]]
+        csum = rows.mean(axis=0)
+        for xi in range(out_w):
+            out[yi, xi] = csum[xs[xi]:xe[xi]].mean(axis=0)
+    return b"P6\n%d %d\n255\n" % (out_w, out_h) + out.tobytes()
+
+
+def media_resize_stage(
+    media_ds: "ray.data.Dataset", out_w: int = 64, out_h: int = 64
+) -> "ray.data.Dataset":
+    """Resize every PPM payload to (out_w, out_h); non-image rows pass
+    through untouched. Same actor/batch shape as decode (small batches,
+    payloads are fat)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        mtypes = batch["media_type"].to_pylist()
+        out = [resize_ppm(p, out_w, out_h)
+               if mt == "image/x-portable-pixmap" else p
+               for p, mt in zip(payloads, mtypes)]
+        sizes = [len(p) for p in out]
+        return pa.table({
+            "media_id": batch["media_id"].combine_chunks(),
+            "media_type": batch["media_type"].combine_chunks(),
+            "payload": pa.array(out, pa.large_binary()),
+            "byte_size": pa.array(sizes, pa.int64()),
+        })
+
+    return media_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=MEDIA_BATCH_SIZE, zero_copy_batch=True)
+
+
+def sample_video_frames(payload: bytes, every_k: int = 2) -> list:
+    """Frame-sample a 'video' payload: the codec-free container is a
+    concatenated stream of P6 frames (``video/x-ppm-stream``); P6 headers are
+    self-delimiting so frames parse sequentially. Returns every k-th frame's
+    raw PPM bytes — the frame-sampling primitive a real video pipeline runs
+    before per-frame feature extraction."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame header at byte {pos}")
+        # header: P6 \n w h \n maxval \n  (three whitespace-separated ints)
+        j = pos + 2
+        vals = []
+        while len(vals) < 3:
+            while payload[j:j + 1].isspace():
+                j += 1
+            k = j
+            while not payload[k:k + 1].isspace():
+                k += 1
+            vals.append(int(payload[j:k]))
+            j = k
+        j += 1  # single whitespace after maxval
+        w, h, _ = vals
+        end = j + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames[::every_k]
+
+
+class VideoFrameFeatureDecoder(NumpyMediaDecoder):
+    """Video decode = frame-sample + per-frame PPM decode + temporal mean of
+    the 4x4 gray-pool embeddings. width/height report the FIRST frame's
+    dims; a 'frames' count is folded into the digest path upstream."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def decode(self, payloads: list, media_types: list) -> dict:
+        n = len(payloads)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        digest = np.zeros(n, dtype=np.int64)
+        emb = np.zeros((n, self.EMBED_DIM), dtype=np.float32)
+        for i, (p, mt) in enumerate(zip(payloads, media_types)):
+            d = hashlib.sha256(p or b"").digest()
+            digest[i] = int.from_bytes(d[:8], "little") & 0x7FFFFFFFFFFFFFFF
+            if mt != "video/x-ppm-stream":
+                if mt != "image/x-portable-pixmap":
+                    raise NotImplementedError(f"no codec for {mt}")
+                w, h, e = NumpyMediaDecoder._decode_ppm(p)
+                width[i], height[i], emb[i] = w, h, e
+                continue
+            frames = sample_video_frames(p, self.every_k)
+            feats = [NumpyMediaDecoder._decode_ppm(f) for f in frames]
+            if feats:
+                width[i], height[i] = feats[0][0], feats[0][1]
+                emb[i] = np.mean([e for _w, _h, e in feats], axis=0)
+        return {"width": width, "height": height, "digest": digest, "embedding": emb}
+
+
 class MediaFeatureActor:
     """Actor-pool callable: codec constructed once per actor."""
 

@@ -494,3 +494,62 @@ class TestEvaluatePipeline:
         if fake not in {tuple(sorted(p)) for p in oracle.dup_pairs}:
             assert m2["n_missed"] == 1
             assert tuple(m2["missed_pairs"][0]) == (min(fake), max(fake))
+
+
+class TestMediaResizeAndVideo:
+    def test_resize_roundtrip(self):
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            NumpyMediaDecoder,
+            resize_ppm,
+            synthetic_ppm,
+        )
+
+        p = synthetic_ppm(40, 24, seed=1)
+        small = resize_ppm(p, 10, 6)
+        w, h, e = NumpyMediaDecoder._decode_ppm(small)
+        assert (w, h) == (10, 6)
+        # a solid-color image resizes to the same solid color
+        solid = b"P6\n9 9\n255\n" + bytes([100, 150, 200]) * 81
+        rs = resize_ppm(solid, 3, 3)
+        import numpy as _np
+        img = _np.frombuffer(rs[rs.index(b"255\n") + 4:], dtype=_np.uint8).reshape(3, 3, 3)
+        assert (img == [100, 150, 200]).all()
+
+    def test_video_frame_sampling(self):
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            sample_video_frames,
+            synthetic_ppm,
+        )
+
+        frames = [synthetic_ppm(8, 8, seed=i) for i in range(7)]
+        stream = b"".join(frames)
+        got = sample_video_frames(stream, every_k=2)
+        assert got == frames[::2]
+        assert sample_video_frames(stream, every_k=1) == frames
+
+    def test_video_decoder_end_to_end(self, ray_session):
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.stages.multimodal import (
+            VideoFrameFeatureDecoder,
+            media_feature_stage,
+            synthetic_ppm,
+        )
+
+        rows = []
+        for i in range(6):
+            frames = b"".join(synthetic_ppm(16, 12, seed=10 * i + j) for j in range(4))
+            rows.append({"media_id": i, "media_type": "video/x-ppm-stream",
+                         "payload": frames, "byte_size": len(frames)})
+        t = pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "media_type": pa.array([r["media_type"] for r in rows], pa.string()),
+            "payload": pa.array([r["payload"] for r in rows], pa.large_binary()),
+            "byte_size": pa.array([r["byte_size"] for r in rows], pa.int64()),
+        })
+        out = media_feature_stage(ray.data.from_arrow(t),
+                                  decoder_cls=VideoFrameFeatureDecoder,
+                                  concurrency=2, every_k=2).take_all()
+        assert len(out) == 6
+        assert all(r["width"] == 16 and r["height"] == 12 for r in out)
+        assert all(len(r["embedding"]) == 16 for r in out)
