@@ -147,6 +147,19 @@ REGISTRY: dict = {
         GROUP BY w.doc_id, d.sha
     """),
     "simhash_near_pairs": (qd.q_simhash_near_pairs, None),
+    "tf_adjusted_weights": (qd.q_tf_adjusted_weights, """
+        -- Splink 3.9 TF arithmetic with the engine's default parameters:
+        -- prior 1e-4, clamped m4 0.599 / u4 0.0005, tf floor 0.001
+        WITH grp AS (
+          SELECT source, min(doc_id) AS rep, count(*) AS n FROM documents GROUP BY source
+        ), tot AS (SELECT count(*)::DOUBLE AS total FROM documents)
+        SELECT grp.rep AS left_id, d.doc_id AS right_id,
+               round(grp.n / tot.total, 6) AS tf_value,
+               round(log2(0.0001 / 0.9999) + log2(0.599 / 0.0005)
+                     + log2(0.0005 / greatest(grp.n / tot.total, 0.001)), 6) AS match_weight
+        FROM documents d JOIN grp ON d.source = grp.source CROSS JOIN tot
+        WHERE d.doc_id <> grp.rep
+    """),
     "link_best_match": (qd.q_link_best_match, """
         WITH d AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words

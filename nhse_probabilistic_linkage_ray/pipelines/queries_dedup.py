@@ -377,6 +377,64 @@ def q_simhash_near_pairs(sf_dir: str):
     return simhash_near_pairs(_simhash_signatures(sf_dir), hamming_max=6)
 
 
+def q_tf_adjusted_weights(sf_dir: str):
+    """Term-frequency-adjusted exact-tier match weights with an exact SQL
+    oracle (Splink 3.9 arithmetic; ref tf_adjustment_* keys,
+    /root/reference/utils/parameter_lists.py:11-14).
+
+    The documents corpus has no exact-content duplicates, so the agreed
+    value here is the ``source`` column: per source-group star pairs
+    (min doc_id -> member) scored at the exact tier with
+    tf = group_size / corpus_size, weight = prior odds + log2(m4/u4) +
+    w_tf * log2(u4 / max(tf, tf_min)) — the identical arithmetic the dedupe
+    pipeline applies to content-hash groups, value-hash-checked against
+    DuckDB's log2."""
+    from nhse_probabilistic_linkage_ray.stages.score import exact_scored_pairs
+
+    cfg = PipelineConfig(tf_adjustment_weight=1.0, tf_minimum_u_value=0.001)
+
+    def as_mapped(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "file_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "group": batch["source"].combine_chunks(),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        as_mapped, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    total = docs.count()
+
+    # rep per group (broadcast: group cardinality is tiny by construction)
+    reps: dict = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for g, f in zip(b["group"].to_pylist(), b["file_id"].to_pylist()):
+            if g not in reps or f < reps[g]:
+                reps[g] = f
+    ref = ray.put(reps)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        rep = [m[g] for g in batch["group"].to_pylist()]
+        return pa.table({
+            "file_id": batch["file_id"].combine_chunks(),
+            "rep_id": pa.array(rep, pa.int64()),
+        })
+
+    mapped = docs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    res = exact_scored_pairs(mapped, cfg, total_rows=total)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": batch["left_id"].combine_chunks(),
+            "right_id": batch["right_id"].combine_chunks(),
+            "tf_value": pa.array(_round_half_away(
+                batch["tf_value"].to_numpy(zero_copy_only=False)), pa.float64()),
+            "match_weight": pa.array(_round_half_away(
+                batch["match_weight"].to_numpy(zero_copy_only=False)), pa.float64()),
+        })
+
+    return res.map_batches(fin, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- linking mode
 
 def q_link_best_match(sf_dir: str):
