@@ -114,6 +114,98 @@ def dedupe_dataset(
     }
 
 
+NEW_BATCH_BROADCAST_LIMIT = 50_000_000
+
+
+def incremental_dedupe(
+    workdir: str,
+    new_files_ds: "ray.data.Dataset",
+    config: PipelineConfig | None = None,
+) -> dict:
+    """Fold a NEW batch of files into an existing checkpointed run without
+    recomputing the corpus (the at-scale daily-increment shape; recast of
+    the reference's superseded-record remap workflow, SURVEY.md J1/J2:
+    'subtract already-processed partitions during resume' / 'remap file_id ->
+    canonical id after incremental runs').
+
+    Only the new files are normalized and signatured. Candidate pairs are
+    restricted to those touching >= 1 new id (old-old pairs were found by
+    the original run); the union of old cluster assignments (as member ->
+    cluster edges) with the new edges yields clusters IDENTICAL to a full
+    rerun over old+new at the same config — signatures are deterministic, so
+    every band bucket the full run would build is reproduced by
+    old-signatures ∪ new-signatures. The new batch must broadcast (its id
+    set gates the pair filter); the corpus side streams."""
+    config = config or PipelineConfig()
+    old_sigs = manifests.load(os.path.join(workdir, "signature"))
+    old_mapped = manifests.load(os.path.join(workdir, "exact"))
+    old_clusters = manifests.load(os.path.join(workdir, "clusters"))
+
+    # exact grouping must span old + new (a new file may equal an old one):
+    # rerun the narrow group_key shuffle over the union of key projections.
+    new_ingested = ingest_stage(new_files_ds, config).materialize()
+    n_new = new_ingested.count()
+
+    import ray as _ray
+
+    new_ids: set = set()
+    for b in new_ingested.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
+        new_ids.update(b["file_id"].to_pylist())
+    if len(new_ids) > NEW_BATCH_BROADCAST_LIMIT:
+        raise ValueError("incremental batch too large to broadcast; run a full dedupe")
+    new_ref = _ray.put(frozenset(new_ids))
+
+    # narrow exact pass over the union of (group_key, file_id) projections
+    from ray.data.aggregate import Min as _Min
+
+    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+
+    both_keys = old_mapped.select_columns(["group_key", "file_id"]).union(
+        new_ingested.select_columns(["group_key", "file_id"])).materialize()
+    rep_map = both_keys.groupby("group_key").aggregate(
+        _Min("file_id", alias_name="rep_id"))
+    exact_both = both_keys.join(
+        rep_map, join_type="inner",
+        num_partitions=join_partitions(config, rows=both_keys.count()),
+        on=("group_key",))
+    new_exact_edges = exact_both.map_batches(
+        lambda t: t.filter(pa.array(
+            [f != r for f, r in zip(t["file_id"].to_pylist(), t["rep_id"].to_pylist())]))
+        .select(["file_id", "rep_id"]).rename_columns(["u", "v"]),
+        batch_format="pyarrow")
+
+    # signatures for new representatives only (dedup within the new batch)
+    new_mapped = exact_group_stage(new_ingested, config)
+    new_sigs = signature_stage(representatives(new_mapped), config,
+                               rows_hint=n_new).materialize()
+    sigs_all = old_sigs.union(new_sigs).materialize()
+
+    pairs = candidate_pairs(sigs_all, config)
+
+    def touching_new(batch: pa.Table) -> pa.Table:
+        ids = _ray.get(new_ref)
+        l = batch["left_id"].to_pylist()
+        r = batch["right_id"].to_pylist()
+        keep = [a in ids or b in ids for a, b in zip(l, r)]
+        return batch.filter(pa.array(keep))
+
+    new_pairs = pairs.map_batches(touching_new, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    scored = score_stage(new_pairs, sigs_all, config)
+
+    old_assign_edges = old_clusters.select_columns(["file_id", "cluster_id"]) \
+        .map_batches(lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow")
+    edges = _dup_edges(scored, config).union(new_exact_edges).union(old_assign_edges)
+    components = connected_components(edges, config)
+
+    all_ids = old_clusters.select_columns(
+        ["file_id", "repo", "path", "commit", "lang", "content_sha256"]).union(
+        new_mapped.select_columns(
+            ["file_id", "repo", "path", "commit", "lang", "content_sha256"]))
+    clusters = assign_clusters(all_ids, components, config)
+    return {"clusters": clusters, "scored_pairs": scored, "new_signatures": new_sigs}
+
+
 def run_dedupe(
     input_path: str,
     workdir: str,

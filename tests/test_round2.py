@@ -553,3 +553,38 @@ class TestMediaResizeAndVideo:
         assert len(out) == 6
         assert all(r["width"] == 16 and r["height"] == 12 for r in out)
         assert all(len(r["embedding"]) == 16 for r in out)
+
+
+class TestIncrementalDedupe:
+    def test_matches_full_rerun(self, ray_session, small_corpus, tmp_path):
+        """run_dedupe(A) + incremental_dedupe(B) must produce exactly the
+        clusters of a full run over A ∪ B (deterministic signatures make the
+        incremental band space a superset of what the full run builds)."""
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.config import PipelineConfig
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import (
+            dedupe_dataset,
+            incremental_dedupe,
+            run_dedupe,
+        )
+
+        cfg = PipelineConfig(num_perms=64, num_bands=16)
+        n = len(small_corpus)
+        mask = np.arange(n) % 5 == 0      # every 5th row is the NEW batch
+        old_t = small_corpus.filter(pa.array(~mask))
+        new_t = small_corpus.filter(pa.array(mask))
+
+        old_path = tmp_path / "old.parquet"
+        _pq.write_table(old_t, old_path)
+        run_dedupe(str(old_path), str(tmp_path / "wd"), cfg)
+
+        inc = incremental_dedupe(str(tmp_path / "wd"),
+                                 ray.data.from_arrow(new_t), cfg)
+        got = {r["file_id"]: r["cluster_id"] for r in inc["clusters"].take_all()}
+
+        full = dedupe_dataset(ray.data.from_arrow(small_corpus), cfg)
+        want = {r["file_id"]: r["cluster_id"] for r in full["clusters"].take_all()}
+        assert got == want
+        assert len(got) == n
