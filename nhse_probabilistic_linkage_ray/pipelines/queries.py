@@ -209,6 +209,27 @@ REGISTRY: dict = {
             fromlist=["ann_ivf_topk"]).ann_ivf_topk(sf_dir)),
         None,
     ),
+    "ann_ivf_full_probe": (
+        # same IVF machinery (centroid training, assignment, per-query probe
+        # masks, distributed top-k) with nprobe == n_centroids: every cell is
+        # probed, so the result is EXACT and the brute-force SQL oracle
+        # hash-verifies the whole IVF path end-to-end
+        (lambda sf_dir: __import__(
+            "nhse_probabilistic_linkage_ray.pipelines.similarity",
+            fromlist=["ann_ivf_topk"]).ann_ivf_topk(sf_dir, n_centroids=16, nprobe=16)),
+        """
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+                 ) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < 5
+        ) WHERE rk <= 10
+    """,
+    ),
     "embedding_near_dup_pairs": (qd.q_embedding_near_dup_pairs, """
         SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
