@@ -113,6 +113,29 @@ REGISTRY: dict = {
                         / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
               END >= 0.5
     """),
+    "jaccard_similarity_join": (
+        # exact prefix-filtered similarity self-join over the FULL documents
+        # table (no doc_id bound — the scale-safe form of word_jaccard_pairs;
+        # see pipelines/simjoin.py). Zero-token docs excluded by contract.
+        (lambda sf_dir: __import__(
+            "nhse_probabilistic_linkage_ray.pipelines.simjoin",
+            fromlist=["jaccard_similarity_join"]).jaccard_similarity_join(
+                __import__(
+                    "nhse_probabilistic_linkage_ray.pipelines.queries_dedup",
+                    fromlist=["_docs"])._docs(sf_dir, ["doc_id", "text"]))),
+        """
+        WITH w AS (
+          SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words
+          FROM documents
+        ), nz AS (SELECT * FROM w WHERE len(words) > 0)
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               round(len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.words, b.words))::DOUBLE
+              / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
+    """,
+    ),
     "minhash_dedup_clusters": (qd.q_minhash_dedup_clusters, """
         WITH RECURSIVE d AS (
           SELECT doc_id, text, sha256(text) AS sha,

@@ -192,10 +192,22 @@ def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -
     # map phase has full parallelism and the explode fuses into it — one
     # fewer full pass over the band table
     bands = band_explode(signatures_ds, config)
+    return pairs_from_bands(bands, config.max_band_group, config.max_pairs_per_band_group)
+
+
+def pairs_from_bands(
+    bands: "ray.data.Dataset", max_band_group: int, max_pairs: int
+) -> "ray.data.Dataset":
+    """General grouped-pair engine: (band_hash, file_id, band_idx) rows ->
+    deduped (left_id, right_id, match_key=min band_idx, capped) pairs of
+    files sharing a band_hash. The LSH candidate stage uses it with MinHash
+    band hashes; the exact similarity join (pipelines/simjoin.py) uses it
+    with prefix tokens and caps disabled. Sort + vectorized segment scan +
+    tiny boundary pass, as documented on candidate_pairs."""
     scanned = bands.sort("band_hash").map_batches(
         _scan_sorted_block,
-        fn_kwargs={"max_band_group": config.max_band_group,
-                   "max_pairs": config.max_pairs_per_band_group},
+        fn_kwargs={"max_band_group": max_band_group,
+                   "max_pairs": max_pairs},
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
@@ -217,7 +229,7 @@ def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -
             return {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64),
                     "match_key": np.empty(0, np.int32), "capped": np.empty(0, np.uint8)}
         l, r, c, k = _emit_segment(np.unique(fid), int(group["match_key"][0]),
-                                   config.max_band_group, config.max_pairs_per_band_group)
+                                   max_band_group, max_pairs)
         return {"left_id": l, "right_id": r,
                 "match_key": np.full(len(l), k, dtype=np.int32), "capped": c}
 
