@@ -259,6 +259,15 @@ REGISTRY: dict = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """),
+    "embedding_near_dup_lsh": (
+        # hyperplane-LSH scale path for the same contract — rows-only for the
+        # driver (banding recall is probabilistic); subset-of-exact + recall
+        # pinned by tests/test_round2.py::TestEmbeddingLshNearDup
+        (lambda sf_dir: __import__(
+            "nhse_probabilistic_linkage_ray.pipelines.queries_dedup",
+            fromlist=["q_embedding_near_dup_lsh"]).q_embedding_near_dup_lsh(sf_dir)),
+        None,
+    ),
     # --- relational parity -------------------------------------------------
     "anti_join_customers_without_orders": (qr.q_anti_join_customers_without_orders, """
         SELECT c_custkey FROM customer c

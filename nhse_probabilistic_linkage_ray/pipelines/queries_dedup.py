@@ -652,3 +652,15 @@ def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
     tasks = ray.data.from_items(
         [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)])
     return tasks.map_batches(block_pair, batch_format="pyarrow", batch_size=1)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH — the scale
+    path dual of ``q_embedding_near_dup_pairs``: narrow band shuffle through
+    the shared sort+segment-scan pair engine, exact-cosine verification via
+    packed-payload hash joins (pipelines/similarity.embedding_near_dup_lsh).
+    Rows-only for the driver (banding recall is probabilistic by design);
+    subset-of-exact + recall >= 0.9 pinned by tests/test_round2.py."""
+    from nhse_probabilistic_linkage_ray.pipelines.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(_load_embeddings(sf_dir), threshold)

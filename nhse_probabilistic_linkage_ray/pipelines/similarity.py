@@ -247,3 +247,137 @@ def ann_ivf_topk(
         }
 
     return scored.groupby("query_id").map_groups(topk, batch_format="numpy")
+
+
+# ------------------------------------------------- hyperplane-LSH near-dup
+
+def hyperplane_band_table(
+    emb_ds: "ray.data.Dataset",
+    dim: int,
+    n_planes: int = 128,
+    bands: int = 32,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Random-hyperplane (SimHash-for-cosine) band table: ``(band_hash,
+    file_id, band_idx)`` rows, one per (vector, band).
+
+    The plane matrix (dim x n_planes, Gaussian, deterministic in ``seed``) is
+    broadcast once via ``ray.put``; each batch is one matmul + sign + bit
+    packing. P(bit agrees) = 1 - angle/pi (Charikar's SimHash bound), so a
+    band of r = n_planes/bands bits collides with probability p^r and the
+    b-band OR gives the standard LSH S-curve — the cosine-space analog of the
+    MinHash banding the dedupe pipeline uses for Jaccard (SURVEY.md J4).
+    Shuffle rows are narrow (20 bytes); embeddings themselves never ride
+    through the band shuffle."""
+    from nhse_probabilistic_linkage_ray.functions.hashing import mix64
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    pref = ray.put(planes)
+    r = n_planes // bands
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        vid = batch["vec_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(vid), -1)
+        bits = (V @ P) >= 0.0                                  # (n, n_planes)
+        n = len(vid)
+        weights = (np.uint64(1) << np.arange(r, dtype=np.uint64))
+        vals = (bits.reshape(n, bands, r).astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        acc = mix64(vals.astype(np.uint64))
+        acc += np.arange(bands, dtype=np.uint64)[None, :] * golden
+        bh = mix64(acc).view(np.int64)
+        return pa.table({
+            "band_hash": pa.array(bh.ravel(), pa.int64()),
+            "file_id": pa.array(np.repeat(vid, bands), pa.int64()),
+            "band_idx": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+        })
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_near_dup_lsh(
+    emb_ds: "ray.data.Dataset",
+    threshold: float = 0.4,
+    n_planes: int = 128,
+    bands: int = 32,
+    seed: int = 7,
+    max_band_group: int = 20_000,
+    max_pairs_per_group: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH — the scale
+    path for ``q_embedding_near_dup_pairs`` (which is exact but inherently
+    all-pairs). Approximate in recall only: every emitted pair is verified
+    with an exact cosine, so precision is exact; recall follows the banding
+    S-curve (pinned vs the exact path by tests/test_round2.py).
+
+    Stages, all streaming: band table (narrow 20-byte rows) -> the same
+    sort + segment-scan + dedup pair engine the MinHash pipeline uses
+    (stages/candidates.pairs_from_bands, incl. star-capping for mega
+    buckets) -> exact-cosine verification that fetches vectors by HASH JOIN
+    on packed float32 payloads — no driver materialization of embeddings,
+    no all-pairs work. Output: (left_id, right_id, cosine >= threshold)."""
+    from nhse_probabilistic_linkage_ray.config import DEFAULT_CONFIG
+    from nhse_probabilistic_linkage_ray.stages.candidates import pairs_from_bands
+    from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].combine_chunks().cast(pa.int64())
+        col = batch["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(batch), -1)
+        Vn = (V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)).astype(np.float32)
+        return pa.table({
+            "vec_id": vid,
+            "embedding": pa.array(list(Vn), pa.list_(pa.float32())),
+        })
+
+    norm = emb_ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    dim = len(norm.take(1)[0]["embedding"])
+
+    pairs = pairs_from_bands(
+        hyperplane_band_table(norm, dim, n_planes=n_planes, bands=bands, seed=seed),
+        max_band_group, max_pairs_per_group,
+    ).select_columns(["left_id", "right_id"])
+
+    # packed payload side for the two verification joins: fixed-dim float32
+    # vectors as binary — the same narrow-payload join shape as the scorer's
+    # join path (stages/score.py pack_lists)
+    def pack(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float32).reshape(len(batch), -1)
+        return pa.table({
+            "vec_id": batch["vec_id"].combine_chunks(),
+            "vec_bin": pa.array([v.tobytes() for v in V], pa.large_binary()),
+        })
+
+    packed = norm.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    k = join_partitions(DEFAULT_CONFIG, rows=emb_ds.count())
+    j = pairs.join(packed, join_type="inner", num_partitions=k,
+                   on=("left_id",), right_on=("vec_id",))
+    j = j.map_batches(
+        lambda t: t.select(["left_id", "right_id", "vec_bin"]).rename_columns(
+            ["left_id", "right_id", "left_bin"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = j.join(packed, join_type="inner", num_partitions=k,
+               on=("right_id",), right_on=("vec_id",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        L = np.frombuffer(b"".join(batch["left_bin"].to_pylist()), dtype=np.float32).reshape(n, -1)
+        R = np.frombuffer(b"".join(batch["vec_bin"].to_pylist()), dtype=np.float32).reshape(n, -1)
+        cos = (L.astype(np.float64) * R.astype(np.float64)).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table({
+            "left_id": batch["left_id"].combine_chunks().filter(pa.array(keep)),
+            "right_id": batch["right_id"].combine_chunks().filter(pa.array(keep)),
+            "cosine": pa.array(np.round(cos[keep], 5), pa.float64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -588,3 +588,32 @@ class TestIncrementalDedupe:
         want = {r["file_id"]: r["cluster_id"] for r in full["clusters"].take_all()}
         assert got == want
         assert len(got) == n
+
+
+class TestEmbeddingLshNearDup:
+    def test_subset_of_exact_and_recall(self, ray_session):
+        """Hyperplane-LSH scale path: every emitted pair is exact-cosine
+        verified (subset of the brute-force truth, with identical cosine),
+        and banding recall clears 0.9 at the configured S-curve."""
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import (
+            q_embedding_near_dup_lsh,
+        )
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+        col = t["embedding"].combine_chunks()
+        V = np.asarray(col.values, dtype=np.float64).reshape(len(ids), -1)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        S = Vn @ Vn.T
+        li, ri = np.triu_indices(len(ids), k=1)
+        keep = S[li, ri] >= 0.4
+        want = {(int(a), int(b)): float(c) for a, b, c in
+                zip(ids[li[keep]], ids[ri[keep]], np.round(S[li[keep], ri[keep]], 5))}
+
+        got = {(r["left_id"], r["right_id"]): r["cosine"]
+               for r in q_embedding_near_dup_lsh(SF).take_all()}
+        assert set(got) <= set(want)                       # exact precision
+        for p, c in got.items():
+            assert abs(c - want[p]) <= 1e-9               # verified cosine
+        assert len(got) / max(1, len(want)) >= 0.9        # banding recall
+        assert len(want) > 0
