@@ -169,7 +169,29 @@ REGISTRY: dict = {
         FROM walk w JOIN d ON d.doc_id = w.doc_id
         GROUP BY w.doc_id, d.sha
     """),
-    "simhash_near_pairs": (qd.q_simhash_near_pairs, None),
+    "simhash_near_pairs": (qd.q_simhash_near_pairs, """
+        -- md5-token SimHash replayed in SQL: per distinct lowercase \\w+
+        -- token, hash = first 16 hex chars of md5 as uint64; per bit, set
+        -- iff ones strictly outnumber zeros; pairs at XOR popcount <= 6.
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+        bt AS (SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h, range(64) r(i) GROUP BY doc_id, i),
+        sigu AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END) AS us
+                 FROM bt GROUP BY doc_id),
+        sig AS (SELECT d.doc_id,
+                       coalesce((CASE WHEN us >= 9223372036854775808::HUGEINT
+                                      THEN us - 18446744073709551616::HUGEINT
+                                      ELSE us END)::BIGINT, 0) AS simhash
+                FROM documents d LEFT JOIN sigu USING (doc_id))
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """),
     "tf_adjusted_weights": (qd.q_tf_adjusted_weights, """
         -- Splink 3.9 TF arithmetic with the engine's default parameters:
         -- prior 1e-4, clamped m4 0.599 / u4 0.0005, tf floor 0.001

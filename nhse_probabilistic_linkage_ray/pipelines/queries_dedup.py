@@ -306,6 +306,44 @@ def _simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
 
 
+def _simhash_signatures_md5(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, simhash) with an md5-derived token hash so DuckDB can
+    recompute the signature exactly (md5 hex -> first 16 chars -> uint64 per
+    DISTINCT lowercase \\w+ token, then the same strict-majority bit rule as
+    the scale kernel). Token-level (1-shingle) by design: SQL list kernels
+    can't window shingles cheaply, and the oracle must replay every step."""
+    import hashlib as _hl
+    import re as _re
+
+    word = _re.compile(r"\w+")
+
+    def sig(batch: pa.Table) -> pa.Table:
+        from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
+
+        cache: dict = {}
+        flat_parts, offs = [], [0]
+        total = 0
+        for t in batch["text"].to_pylist():
+            toks = set(word.findall((t or "").lower()))
+            hs = np.empty(len(toks), np.uint64)
+            for i, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = cache[tok] = int(_hl.md5(tok.encode()).hexdigest()[:16], 16)
+                hs[i] = h
+            flat_parts.append(hs)
+            total += len(hs)
+            offs.append(total)
+        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+        s = simhash_fn(flat, np.asarray(offs, np.int64))
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "simhash": pa.array(s.view(np.int64), pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
+
+
 def simhash_near_pairs(
     sigs_ds: "ray.data.Dataset", hamming_max: int = 6
 ) -> "ray.data.Dataset":
@@ -372,9 +410,15 @@ def simhash_near_pairs(
 
 def q_simhash_near_pairs(sf_dir: str):
     """SimHash-based near-dup pairs (Hamming <= 6) among documents — the
-    standalone SimHash dedup operator. Rows-only for the driver; pinned by a
-    pytest equivalence test against a brute-force all-pairs reference."""
-    return simhash_near_pairs(_simhash_signatures(sf_dir), hamming_max=6)
+    standalone SimHash dedup operator, distributed via pigeonhole banding.
+
+    Full value-hash DuckDB oracle: the signature uses md5-derived token
+    hashes (``_simhash_signatures_md5``) so SQL can replay signature ->
+    XOR popcount -> threshold exactly. The pair engine is EXACT (pigeonhole
+    guarantees every Hamming<=6 pair collides on >=1 chunk), so Ray and SQL
+    agree bit-for-bit. The mix64 3-shingle scale kernel stays exercised by
+    the dedupe tiers and pytest brute-force equivalence."""
+    return simhash_near_pairs(_simhash_signatures_md5(sf_dir), hamming_max=6)
 
 
 def q_tf_adjusted_weights(sf_dir: str):

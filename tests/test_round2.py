@@ -90,13 +90,12 @@ class TestBoundedUSampling:
         assert p1 == p2
 
 
-def _brute_simhash_pairs(hamming_max=6):
-    """All-pairs reference over the sf0.001 documents, pure numpy."""
+def _mix64_signatures():
+    """(ids, sigs) with the mix64 3-shingle scale kernel over sf0.001 docs."""
     from nhse_probabilistic_linkage_ray.functions.shingle import (
         shingle_hashes,
         token_hashes_batch,
     )
-    from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
     from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
 
     t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
@@ -105,6 +104,37 @@ def _brute_simhash_pairs(hamming_max=6):
     sh, so = shingle_hashes(flat, offs, 3)
     sigs = simhash_fn(sh, so)
     ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    return ids, sigs
+
+
+def _md5_signatures():
+    """(ids, sigs) with the md5-token oracle-parity kernel over sf0.001."""
+    import hashlib
+    import re
+
+    from nhse_probabilistic_linkage_ray.functions.simhash import simhash as simhash_fn
+
+    word = re.compile(r"\w+")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    flat_parts, offs, total = [], [0], 0
+    for x in t["text"].to_pylist():
+        toks = set(word.findall((x or "").lower()))
+        hs = np.array([int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                       for tok in toks], np.uint64)
+        flat_parts.append(hs)
+        total += len(hs)
+        offs.append(total)
+    flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+    sigs = simhash_fn(flat, np.asarray(offs, np.int64))
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    return ids, sigs
+
+
+def _brute_simhash_pairs(hamming_max=6, signatures=_md5_signatures):
+    """All-pairs reference over the sf0.001 documents, pure numpy."""
+    from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
+
+    ids, sigs = signatures()
     order = np.argsort(ids)
     ids, sigs = ids[order], sigs[order]
     li, ri = np.triu_indices(len(ids), k=1)
@@ -122,6 +152,21 @@ class TestSimhashPigeonhole:
                      for r in q_simhash_near_pairs(SF).take_all())
         assert got == _brute_simhash_pairs()
         assert len(got) > 0  # fixture has near-dups; test is non-vacuous
+
+    def test_mix64_kernel_pigeonhole_equivalence(self, ray_session):
+        """The scale kernel (mix64 3-shingle) through the same distributed
+        pigeonhole engine also matches all-pairs brute force."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import (
+            _simhash_signatures,
+            simhash_near_pairs,
+        )
+
+        got = sorted((r["left_id"], r["right_id"], r["hamming"])
+                     for r in simhash_near_pairs(_simhash_signatures(SF),
+                                                 hamming_max=6).take_all())
+        assert got == _brute_simhash_pairs(signatures=_mix64_signatures)
 
 
 class TestEmbeddingBlockPairs:
