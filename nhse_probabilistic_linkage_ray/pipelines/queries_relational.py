@@ -376,14 +376,23 @@ def q_join_lineitem_orders(sf_dir: str):
     from nhse_probabilistic_linkage_ray.config import DEFAULT_CONFIG
     from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
 
-    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # aggregation pushdown below the join: the join's left side shrinks
+        # from one row per lineitem to (at most) one row per order per batch
+        keys, counts = np.unique(
+            batch["l_orderkey"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
     od = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     # row counts of fresh parquet reads are metadata-only — size the join to
     # the data, not the CPU count
-    k = join_partitions(DEFAULT_CONFIG, rows=max(li.count(), od.count()))
+    k = join_partitions(DEFAULT_CONFIG, rows=od.count())
     j = li.join(od, join_type="inner", num_partitions=k,
                 on=("l_orderkey",), right_on=("o_orderkey",))
-    return j.groupby("o_orderpriority").aggregate(Count(alias_name="n_lines"))
+    return j.groupby("o_orderpriority").aggregate(Sum("n_part", alias_name="n_lines"))
 
 
 def q_returnflag_totals(sf_dir: str):
@@ -537,16 +546,19 @@ def q_hourly_event_counts(sf_dir: str):
     'streaming-only features: none'); tumbling windows are groupby over the
     truncated timestamp."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # combiner inside map_batches: the shuffle carries one row per
+        # (type, hour) per batch instead of one row per event
         out = pd.DataFrame({
             "event_type": batch["event_type"],
             "hour": batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
         })
-        return out
+        return out.groupby(["event_type", "hour"], as_index=False).agg(
+            n_part=("hour", "size"))
 
     return _t(sf_dir, "events", ["event_type", "ts"]) \
-        .map_batches(fn, batch_format="pandas") \
-        .groupby(["event_type", "hour"]).aggregate(Count(alias_name="n"))
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "hour"]).aggregate(Sum("n_part", alias_name="n"))
 
 
 def q_user_sessions(sf_dir: str):
