@@ -169,6 +169,20 @@ REGISTRY: dict = {
         FROM walk w JOIN d ON d.doc_id = w.doc_id
         GROUP BY w.doc_id, d.sha
     """),
+    "substring_gram_pairs": (qd.q_substring_gram_pairs, """
+        -- docs sharing >= 1 exact 12-token substring; n_shared_grams =
+        -- count of distinct shared 12-grams (same tokenizer as the engine)
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(w) >= 12 THEN
+                list_distinct([array_to_string(w[i:i+11], chr(30))
+                               FOR i IN generate_series(1, len(w) - 11)])
+              ELSE [] END AS grams FROM d)
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               len(list_intersect(a.grams, b.grams))::BIGINT AS n_shared_grams
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) > 0
+    """),
     "simhash_near_pairs": (qd.q_simhash_near_pairs, """
         -- md5-token SimHash replayed in SQL: per distinct lowercase \\w+
         -- token, hash = first 16 hex chars of md5 as uint64; per bit, set

@@ -183,6 +183,46 @@ def q_fingerprints_rolling(sf_dir: str):
 
 # ------------------------------------------------------- near-dup (word sets)
 
+def q_substring_gram_pairs(sf_dir: str, gram_len: int = 12):
+    """Exact shared-substring near-dup pairs — the standalone 'suffix-array
+    substring' dedup operator the north rule names (BASELINE.json): two
+    documents pair iff they share at least one exact ``gram_len``-token
+    substring, with the count of DISTINCT shared grams as the score.
+
+    Distributed plan (winnowing-style fingerprint blocking): per doc, the
+    sorted-unique mix64 hashes of every L-token window (the vectorized
+    ``shingle_hashes`` kernel, order-preserving duplicates kept upstream) ->
+    (gram_hash, doc_id) rows -> the shared sort+segment-scan pair engine
+    emits one row per (gram, pair) collision -> groupby(pair).count = number
+    of shared grams. No driver materialization; caps disabled because the
+    operator is exact by contract (mega-gram skew belongs to the capped LSH
+    path). SQL oracle replays the same windows as strings via list kernels
+    (hash collisions would need ~2^64 grams to matter)."""
+    from nhse_probabilistic_linkage_ray.functions.shingle import (
+        shingle_hashes,
+        token_hashes_batch,
+    )
+    from nhse_probabilistic_linkage_ray.stages.candidates import raw_band_pairs
+
+    def grams(batch: pa.Table) -> pa.Table:
+        # raw text (NOT lowered): the oracle regex runs on text as-is
+        flat, offs = token_hashes_batch(batch["text"].to_pylist())
+        sh, so = shingle_hashes(flat, offs, gram_len)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        counts = np.diff(so)
+        return pa.table({
+            "band_hash": pa.array(sh.view(np.int64), pa.int64()),
+            "file_id": pa.array(np.repeat(did, counts).astype(np.int64), pa.int64()),
+            "band_idx": pa.array(np.zeros(len(sh), np.int32), pa.int32()),
+        })
+
+    bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True)
+    raw = raw_band_pairs(bands, max_band_group=1 << 30, max_pairs=1 << 62)
+    return raw.groupby(["left_id", "right_id"]).aggregate(
+        Count(alias_name="n_shared_grams"))
+
+
 def q_word_jaccard_pairs(sf_dir: str):
     """All-pairs word-set Jaccard >= 0.5 among doc_id < 300 — an n-gram-
     Jaccard dedup operator small enough for an exact SQL oracle. Tokens are

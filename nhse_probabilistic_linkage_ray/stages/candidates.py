@@ -195,15 +195,14 @@ def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -
     return pairs_from_bands(bands, config.max_band_group, config.max_pairs_per_band_group)
 
 
-def pairs_from_bands(
+def raw_band_pairs(
     bands: "ray.data.Dataset", max_band_group: int, max_pairs: int
 ) -> "ray.data.Dataset":
-    """General grouped-pair engine: (band_hash, file_id, band_idx) rows ->
-    deduped (left_id, right_id, match_key=min band_idx, capped) pairs of
-    files sharing a band_hash. The LSH candidate stage uses it with MinHash
-    band hashes; the exact similarity join (pipelines/simjoin.py) uses it
-    with prefix tokens and caps disabled. Sort + vectorized segment scan +
-    tiny boundary pass, as documented on candidate_pairs."""
+    """Pre-dedup pair stream: one (left_id, right_id, match_key, capped) row
+    per (band_hash, pair) collision — a pair sharing k band hashes appears k
+    times. ``pairs_from_bands`` wraps this with the min-match-key dedup; the
+    substring-gram operator counts the multiplicity instead (shared-gram
+    count). Sort + vectorized segment scan + tiny boundary pass."""
     scanned = bands.sort("band_hash").map_batches(
         _scan_sorted_block,
         fn_kwargs={"max_band_group": max_band_group,
@@ -234,7 +233,19 @@ def pairs_from_bands(
                 "match_key": np.full(len(l), k, dtype=np.int32), "capped": c}
 
     boundary_pairs = deferred.groupby("right_id").map_groups(emit_deferred, batch_format="numpy")
-    raw_pairs = interior.union(boundary_pairs)
+    return interior.union(boundary_pairs)
+
+
+def pairs_from_bands(
+    bands: "ray.data.Dataset", max_band_group: int, max_pairs: int
+) -> "ray.data.Dataset":
+    """General grouped-pair engine: (band_hash, file_id, band_idx) rows ->
+    deduped (left_id, right_id, match_key=min band_idx, capped) pairs of
+    files sharing a band_hash. The LSH candidate stage uses it with MinHash
+    band hashes; the exact similarity join (pipelines/simjoin.py) uses it
+    with prefix tokens and caps disabled. Sort + vectorized segment scan +
+    tiny boundary pass, as documented on candidate_pairs."""
+    raw_pairs = raw_band_pairs(bands, max_band_group, max_pairs)
 
     # cross-band dedup: min match_key wins (Splink match_key provenance, D4)
     return raw_pairs.groupby(["left_id", "right_id"]).aggregate(

@@ -144,6 +144,33 @@ def _brute_simhash_pairs(hamming_max=6, signatures=_md5_signatures):
                       d[keep].astype(int).tolist()))
 
 
+class TestSubstringGramPairs:
+    def test_equivalent_to_bruteforce(self, ray_session):
+        """Distributed gram-collision pairs == all-pairs distinct-window-set
+        intersection counts over the sf0.001 documents."""
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import (
+            q_substring_gram_pairs,
+        )
+        from nhse_probabilistic_linkage_ray.functions.normalize import tokenize
+
+        L = 12
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        grams = {}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokenize(text or "")
+            grams[did] = {tuple(toks[i:i + L]) for i in range(len(toks) - L + 1)}
+        ids = sorted(grams)
+        want = sorted(
+            (a, b, len(grams[a] & grams[b]))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if grams[a] & grams[b]
+        )
+        got = sorted((r["left_id"], r["right_id"], r["n_shared_grams"])
+                     for r in q_substring_gram_pairs(SF, gram_len=L).take_all())
+        assert got == want
+        assert len(got) > 0
+
+
 class TestSimhashPigeonhole:
     def test_equivalent_to_bruteforce(self, ray_session):
         from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import q_simhash_near_pairs
