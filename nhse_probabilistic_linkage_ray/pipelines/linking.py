@@ -64,15 +64,17 @@ def link_datasets(
     ing_cor = ingest_stage(corpus_ds, config)
 
     # broadcast external id set — the cross-side filter and the outer-join
-    # completion both need it; collected once, bounded by contract
-    ext_ids: set = set()
-    for b in ing_ext.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
-        ext_ids.update(b["file_id"].to_pylist())
+    # completion both need it; collected once, bounded by contract. Sorted
+    # int64 array, not a Python set: membership tests below are vectorized
+    # np.isin over pair batches, never a per-row Python loop
+    chunks = [b["file_id"].to_numpy(zero_copy_only=False)
+              for b in ing_ext.select_columns(["file_id"]).iter_batches(batch_format="pyarrow")]
+    ext_ids = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     if len(ext_ids) > EXTERNAL_BROADCAST_LIMIT:
         raise ValueError(
             f"external side has {len(ext_ids)} rows; linking expects the "
             f"bounded external table on the left (ref load_data_to_link)")
-    ext_ref = ray.put(frozenset(ext_ids))
+    ext_ref = ray.put(ext_ids)
 
     both = ing_ext.union(ing_cor)
     sigs = signature_stage(both, config).materialize()
@@ -83,8 +85,8 @@ def link_datasets(
         ids = ray.get(ext_ref)
         l = batch["left_id"].to_numpy(zero_copy_only=False)
         r = batch["right_id"].to_numpy(zero_copy_only=False)
-        lm = np.fromiter((x in ids for x in l.tolist()), bool, len(l))
-        rm = np.fromiter((x in ids for x in r.tolist()), bool, len(r))
+        lm = np.isin(l, ids, assume_unique=False)
+        rm = np.isin(r, ids, assume_unique=False)
         return batch.filter(pa.array(lm != rm))  # exactly one endpoint external
 
     cross = pairs.map_batches(cross_side, batch_format="pyarrow", zero_copy_batch=True)
@@ -94,7 +96,7 @@ def link_datasets(
         ids = ray.get(ext_ref)
         l = batch["left_id"].to_numpy(zero_copy_only=False)
         r = batch["right_id"].to_numpy(zero_copy_only=False)
-        lm = np.fromiter((x in ids for x in l.tolist()), bool, len(l))
+        lm = np.isin(l, ids)
         return pa.table({
             "ext_id": pa.array(np.where(lm, l, r), pa.int64()),
             "match_id": pa.array(np.where(lm, r, l), pa.int64()),
@@ -128,16 +130,15 @@ def link_datasets(
         .materialize()
 
     # outer-join completion: external records with no candidates
-    matched_ids: set = set()
-    for b in matched.select_columns(["ext_id"]).iter_batches(batch_format="pyarrow"):
-        matched_ids.update(b["ext_id"].to_pylist())
-    matched_ref = ray.put(frozenset(matched_ids))
+    mchunks = [b["ext_id"].to_numpy(zero_copy_only=False)
+               for b in matched.select_columns(["ext_id"]).iter_batches(batch_format="pyarrow")]
+    matched_ids = np.unique(np.concatenate(mchunks)) if mchunks else np.empty(0, np.int64)
+    matched_ref = ray.put(matched_ids)
 
     def unmatched(batch: pa.Table) -> pa.Table:
         got = ray.get(matched_ref)
         fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        keep = np.fromiter((x not in got for x in fid.tolist()), bool, len(fid))
-        fid = fid[keep]
+        fid = fid[~np.isin(fid, got)]
         n = len(fid)
         return pa.table({
             "ext_id": pa.array(fid, pa.int64()),
