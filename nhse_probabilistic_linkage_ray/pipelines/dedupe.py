@@ -148,12 +148,14 @@ def incremental_dedupe(
 
     import ray as _ray
 
-    new_ids: set = set()
-    for b in new_ingested.select_columns(["file_id"]).iter_batches(batch_format="pyarrow"):
-        new_ids.update(b["file_id"].to_pylist())
+    import numpy as np
+
+    chunks = [b["file_id"].to_numpy(zero_copy_only=False)
+              for b in new_ingested.select_columns(["file_id"]).iter_batches(batch_format="pyarrow")]
+    new_ids = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     if len(new_ids) > NEW_BATCH_BROADCAST_LIMIT:
         raise ValueError("incremental batch too large to broadcast; run a full dedupe")
-    new_ref = _ray.put(frozenset(new_ids))
+    new_ref = _ray.put(new_ids)
 
     # narrow exact pass over the union of (group_key, file_id) projections
     from ray.data.aggregate import Min as _Min
@@ -168,11 +170,13 @@ def incremental_dedupe(
         rep_map, join_type="inner",
         num_partitions=join_partitions(config, rows=both_keys.count()),
         on=("group_key",))
-    new_exact_edges = exact_both.map_batches(
-        lambda t: t.filter(pa.array(
-            [f != r for f, r in zip(t["file_id"].to_pylist(), t["rep_id"].to_pylist())]))
-        .select(["file_id", "rep_id"]).rename_columns(["u", "v"]),
-        batch_format="pyarrow")
+    def non_rep_edges(t: pa.Table) -> pa.Table:
+        f = t["file_id"].to_numpy(zero_copy_only=False)
+        r = t["rep_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(f != r)).select(["file_id", "rep_id"]) \
+                .rename_columns(["u", "v"])
+
+    new_exact_edges = exact_both.map_batches(non_rep_edges, batch_format="pyarrow")
 
     # signatures for new representatives only (dedup within the new batch)
     new_mapped = exact_group_stage(new_ingested, config)
@@ -184,10 +188,9 @@ def incremental_dedupe(
 
     def touching_new(batch: pa.Table) -> pa.Table:
         ids = _ray.get(new_ref)
-        l = batch["left_id"].to_pylist()
-        r = batch["right_id"].to_pylist()
-        keep = [a in ids or b in ids for a, b in zip(l, r)]
-        return batch.filter(pa.array(keep))
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(l, ids) | np.isin(r, ids)))
 
     new_pairs = pairs.map_batches(touching_new, batch_format="pyarrow",
                                   zero_copy_batch=True)
