@@ -621,7 +621,9 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     oracle (cosine rounded to 5 dp; ties broken by neighbor_id)."""
     emb = _load_embeddings(sf_dir)
 
-    q_rows = emb.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_rows = emb.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -191,7 +191,9 @@ def ann_ivf_topk(
 
     assigned = ivf_assign(emb, centroids).materialize()
 
-    q_rows = assigned.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_rows = assigned.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
