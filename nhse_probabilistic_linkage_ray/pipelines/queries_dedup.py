@@ -311,14 +311,19 @@ def q_minhash_dedup_clusters(sf_dir: str):
 
     cl = cl.map_batches(with_doc, batch_format="pyarrow", zero_copy_batch=True).materialize()
     mins = cl.groupby("cluster_id").aggregate(_Min("doc_id", alias_name="cluster_doc_id"))
-    lookup = {}
+    kchunks, vchunks = [], []
     for b in mins.iter_batches(batch_format="pyarrow"):
-        lookup.update(zip(b["cluster_id"].to_pylist(), b["cluster_doc_id"].to_pylist()))
-    ref = ray.put(lookup)
+        kchunks.append(b["cluster_id"].to_numpy(zero_copy_only=False))
+        vchunks.append(b["cluster_doc_id"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(kchunks) if kchunks else np.empty(0, np.int64)
+    vals = np.concatenate(vchunks) if vchunks else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
 
     def remap(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        cd = [m[c] for c in batch["cluster_id"].to_pylist()]
+        k, v = ray.get(ref)
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        cd = v[np.searchsorted(k, c)]  # every cluster_id is in the map
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
             "cluster_doc_id": pa.array(cd, pa.int64()),
