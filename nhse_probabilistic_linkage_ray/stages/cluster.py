@@ -226,18 +226,24 @@ def assign_clusters(
         except Exception:
             n = None
     if n is not None and n <= COMPONENT_BROADCAST_LIMIT:
-        comp = {}
+        fch, cch = [], []
         for b in components_ds.iter_batches(batch_format="pyarrow"):
-            f = b["file_id"].to_numpy(zero_copy_only=False)
-            c = b["cluster_id"].to_numpy(zero_copy_only=False)
-            comp.update(zip(f.tolist(), c.tolist()))
-        ref = ray.put(comp)
+            fch.append(b["file_id"].to_numpy(zero_copy_only=False))
+            cch.append(b["cluster_id"].to_numpy(zero_copy_only=False))
+        keys = np.concatenate(fch) if fch else np.empty(0, np.int64)
+        vals = np.concatenate(cch) if cch else np.empty(0, np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
 
         def fill_bcast(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(ref)
+            k, v = ray.get(ref)
             fid = batch["file_id"].to_numpy(zero_copy_only=False)
-            cl = np.fromiter((lookup.get(int(x), int(x)) for x in fid),
-                             dtype=np.int64, count=len(fid))
+            # vectorized lookup-with-default: files outside the component map
+            # are their own singleton cluster
+            idx = np.searchsorted(k, fid)
+            idx_c = np.minimum(idx, max(len(k) - 1, 0))
+            found = (len(k) > 0) & (k[idx_c] == fid)
+            cl = np.where(found, v[idx_c], fid).astype(np.int64)
             return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
 
         return all_ids_ds.map_batches(fill_bcast, batch_format="pyarrow", zero_copy_batch=True)
