@@ -30,11 +30,12 @@ def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
 
 
 def _key_set_ref(ds: "ray.data.Dataset", col: str):
-    """Broadcast the distinct key set of a column (semi/anti join small side)."""
-    keys = set()
-    for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
-        keys.update(b[col].to_pylist())
-    return ray.put(frozenset(keys))
+    """Broadcast the distinct key set of a column (semi/anti join small side)
+    as a sorted int64 array — membership tests are vectorized np.isin."""
+    chunks = [b[col].to_numpy(zero_copy_only=False)
+              for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow")]
+    keys = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    return ray.put(keys)
 
 
 def _urgent_custkeys(sf_dir: str):
@@ -57,7 +58,7 @@ def q_anti_join_customers_without_orders(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        m = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        m = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False), keys)
         return batch.filter(pa.array(m)).select(["c_custkey"])
 
     return _t(sf_dir, "customer", ["c_custkey"]).map_batches(fn, batch_format="pyarrow")
@@ -71,7 +72,7 @@ def q_semi_join_customers_with_orders(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        m = [k in keys for k in batch["c_custkey"].to_pylist()]
+        m = np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False), keys)
         return batch.filter(pa.array(m)).select(["c_custkey"])
 
     return _t(sf_dir, "customer", ["c_custkey"]).map_batches(fn, batch_format="pyarrow")
@@ -81,16 +82,22 @@ def q_left_join_coalesce_remap(sf_dir: str):
     """J2 left join + coalesce: remap orders to nation via a broadcast dim
     lookup (ref update_superseded_nhs_numbers,
     /root/reference/utils/dataset_ingestion_utils.py:66-103)."""
-    cust = {}
+    kch, vch = [], []
     for b in _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow"):
-        ck = b["c_custkey"].to_pylist()
-        nk = b["c_nationkey"].to_pylist()
-        cust.update(zip(ck, nk))
-    ref = ray.put(cust)
+        kch.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+        vch.append(b["c_nationkey"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(kch) if kch else np.empty(0, np.int64)
+    vals = np.concatenate(vch) if vch else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order].astype(np.int64)))
 
     def fn(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        nk = [lookup.get(k, -1) for k in batch["o_custkey"].to_pylist()]
+        k, v = ray.get(ref)
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ok)
+        idx_c = np.minimum(idx, max(len(k) - 1, 0))
+        found = (len(k) > 0) & (k[idx_c] == ok)
+        nk = np.where(found, v[idx_c], -1).astype(np.int64)  # coalesce(-1)
         return pa.table({
             "o_orderkey": batch["o_orderkey"].combine_chunks(),
             "nation_key": pa.array(nk, pa.int64()),
