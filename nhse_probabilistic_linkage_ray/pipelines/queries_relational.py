@@ -43,7 +43,7 @@ def _urgent_custkeys(sf_dir: str):
     right side keeps both the anti and semi joins non-trivial)."""
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
         lambda t: t.filter(
-            pa.array(np.asarray(t["o_orderpriority"].to_pylist()) == "1-URGENT")
+            pc.equal(t["o_orderpriority"], "1-URGENT")
         ).select(["o_custkey"]),
         batch_format="pyarrow",
     )
@@ -189,7 +189,7 @@ def q_confusion_matrix_one_pass(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         d = batch["l_discount"].to_numpy(zero_copy_only=False)
-        truth = np.asarray(batch["l_returnflag"].to_pylist()) == "R"
+        truth = pc.equal(batch["l_returnflag"], "R").to_numpy(zero_copy_only=False)
         above = d[None, :] >= th[:, None]
         return pa.table({
             "threshold": pa.array(th, pa.float64()),
@@ -331,8 +331,8 @@ def q_agreement_patterns(sf_dir: str):
     from nhse_probabilistic_linkage_ray.stages.report import gamma_pattern_table
 
     def gammas(batch: pa.Table) -> pa.Table:
-        rf = np.asarray(batch["l_returnflag"].to_pylist())
-        ls = np.asarray(batch["l_linestatus"].to_pylist())
+        rf = batch["l_returnflag"].to_pandas().to_numpy()
+        ls = batch["l_linestatus"].to_pandas().to_numpy()
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
         return pa.table({
             "l_orderkey": batch["l_orderkey"].combine_chunks(),
@@ -354,8 +354,8 @@ def q_filter_projection(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        rf = np.asarray(batch["l_returnflag"].to_pylist())
-        return batch.filter(pa.array((q >= 45) & (rf == "R"))) \
+        rf = pc.equal(batch["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((q >= 45) & rf)) \
             .select(["l_orderkey", "l_linenumber"])
 
     return _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
@@ -494,7 +494,7 @@ def q_nested_order_history(sf_dir: str):
         .materialize()
 
     interior = nested.map_batches(
-        lambda t: t.filter(pa.array(~np.asarray(pc.is_null(t["history"]).to_pylist())))
+        lambda t: t.filter(pc.is_valid(t["history"]))
                    .select(["o_custkey", "history"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
@@ -514,7 +514,7 @@ def q_nested_order_history(sf_dir: str):
         }
 
     deferred = nested.map_batches(
-        lambda t: t.filter(pa.array(np.asarray(pc.is_null(t["history"]).to_pylist())))
+        lambda t: t.filter(pc.is_null(t["history"]))
                    .select(["o_custkey", "_defer_key", "_defer_price", "_defer_date"]),
         batch_format="pyarrow", zero_copy_batch=True)
     boundary = deferred.groupby("o_custkey").map_groups(group_explode, batch_format="numpy")
