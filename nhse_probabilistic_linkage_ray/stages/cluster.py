@@ -240,10 +240,11 @@ def assign_clusters(
             fid = batch["file_id"].to_numpy(zero_copy_only=False)
             # vectorized lookup-with-default: files outside the component map
             # are their own singleton cluster
-            idx = np.searchsorted(k, fid)
-            idx_c = np.minimum(idx, max(len(k) - 1, 0))
-            found = (len(k) > 0) & (k[idx_c] == fid)
-            cl = np.where(found, v[idx_c], fid).astype(np.int64)
+            if len(k) == 0:
+                cl = fid.astype(np.int64)
+            else:
+                idx = np.minimum(np.searchsorted(k, fid), len(k) - 1)
+                cl = np.where(k[idx] == fid, v[idx], fid).astype(np.int64)
             return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
 
         return all_ids_ds.map_batches(fill_bcast, batch_format="pyarrow", zero_copy_batch=True)

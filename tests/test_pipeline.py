@@ -95,3 +95,27 @@ def test_null_rows_stay_singletons(pipeline_result, small_corpus, oracle_result)
         if p in ("empty.py", "ws_only.py"):
             others = [got[int(fid[j])] for j in range(len(paths)) if j != i]
             assert got[int(fid[i])] == int(fid[i]) or got[int(fid[i])] not in others
+
+
+def test_all_unique_corpus_singletons(ray_session):
+    """A corpus with no duplicates at all: the component map is EMPTY and the
+    broadcast cluster-assignment path must still assign every file its own
+    singleton cluster (regression: empty-array searchsorted IndexError)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+
+    n = 64
+    t = pa.table({
+        "repo": [f"org/r{i % 4}" for i in range(n)],
+        "path": [f"src/f{i}.py" for i in range(n)],
+        "commit": ["c" * 40] * n,
+        "lang": ["python"] * n,
+        "content": [f"def fn_{i}():\n    return {i} * {i * 7 + 1}\n" for i in range(n)],
+    })
+    out = dedupe_dataset(ray.data.from_arrow(t), PipelineConfig())
+    clusters = out["clusters"].take_all()
+    assert len(clusters) == n
+    assert all(r["cluster_id"] == r["file_id"] for r in clusters)
