@@ -54,9 +54,47 @@ def corpus_path() -> str:
     return path
 
 
+def host_health() -> dict:
+    """Two-number snapshot of what this shared host grants RIGHT NOW, embedded
+    in every bench JSON so cross-round comparisons can be normalized:
+    - cpu_iters_per_sec: single-process numpy uint64 multiply-add (the MinHash
+      inner loop) — compute availability;
+    - first_touch_mb_per_sec: allocate-and-touch a fresh 256 MB mapping — page
+      provisioning speed, which on this memory-overcommitted VM swings 100-300x
+      and dominates allocation-heavy stages when it degrades."""
+    import time as _t
+
+    import numpy as _np
+
+    x = _np.arange(1_000_000, dtype=_np.uint64)
+    a = _np.uint64(0x9E3779B97F4A7C15)
+    t0 = _t.perf_counter()
+    iters = 0
+    while _t.perf_counter() - t0 < 1.0:
+        x = x * a + _np.uint64(iters)
+        x ^= x >> _np.uint64(31)
+        iters += 1
+    cpu = iters / (_t.perf_counter() - t0)
+
+    mb = 256
+    t0 = _t.perf_counter()
+    buf = _np.empty(mb << 20, dtype=_np.uint8)
+    buf[::4096] = 1  # touch every page
+    ft = mb / (_t.perf_counter() - t0)
+    del buf
+    return {"cpu_iters_per_sec": round(cpu, 1),
+            "first_touch_mb_per_sec": round(ft, 1)}
+
+
 def run_bench() -> dict:
     import ray
 
+    # glibc: reuse freed large blocks instead of munmap/mmap churn — fresh
+    # page provisioning on this memory-overcommitted host can run 25-300x
+    # slower than resident reuse (see host_health.first_touch_mb_per_sec).
+    # Must be set before ray.init so spawned workers inherit it.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
@@ -113,6 +151,7 @@ def run_bench() -> dict:
 
     result = {
         "metric": "dedup pipeline seconds (synthetic code corpus) + per-query seconds",
+        "host_health": host_health(),
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
