@@ -30,6 +30,32 @@ REGISTRY: dict = {
         FROM (SELECT count(*) AS n_members FROM documents GROUP BY md5(text))
         GROUP BY n_members
     """),
+    "vocab_top_tokens": (qd.q_vocab_top_tokens, """
+        SELECT token, count(*)::BIGINT AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token
+          FROM documents
+        ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """),
+    "doc_token_quantiles": (qd.q_doc_token_quantiles, """
+        WITH tok AS (
+          SELECT lang,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE coalesce(array_length(regexp_extract_all(trim(text), '\\S+')), 0)
+                 END::BIGINT AS n
+          FROM documents
+        ),
+        h AS (SELECT lang, n, count(*)::BIGINT AS c FROM tok GROUP BY lang, n),
+        t AS (SELECT lang, n,
+                     sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS tot
+              FROM h)
+        SELECT lang,
+               min(CASE WHEN cum >= ceil(0.25 * tot) THEN n END)::BIGINT AS p25,
+               min(CASE WHEN cum >= ceil(0.50 * tot) THEN n END)::BIGINT AS p50,
+               min(CASE WHEN cum >= ceil(0.75 * tot) THEN n END)::BIGINT AS p75,
+               min(CASE WHEN cum >= ceil(0.95 * tot) THEN n END)::BIGINT AS p95
+        FROM t GROUP BY lang
+    """),
     "token_counts": (qd.q_token_counts, """
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0

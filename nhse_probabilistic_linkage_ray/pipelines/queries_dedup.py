@@ -755,3 +755,95 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4):
     from nhse_probabilistic_linkage_ray.pipelines.similarity import embedding_near_dup_lsh
 
     return embedding_near_dup_lsh(_load_embeddings(sf_dir), threshold)
+
+
+# ------------------------------------------------- corpus statistics (scale)
+
+def q_vocab_top_tokens(sf_dir: str, k: int = 20):
+    """Corpus vocabulary heavy-hitters: the top-k most frequent word tokens.
+
+    The combiner pattern for counting at 100 TB (SURVEY.md §2.5 guidance —
+    "pre-aggregate inside map_batches before a groupby"): each batch emits
+    its OWN (token, n) partial counts via np.unique, so the shuffle moves
+    per-batch vocabularies (bounded by distinct tokens) instead of the raw
+    token stream (one row per token occurrence); the global groupby-sum then
+    reduces partials, and only (n desc, token asc) top-k survives the sort.
+    """
+    import re
+
+    word = re.compile(r"\w+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(word.findall((t or "").lower()))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    totals = (_docs(sf_dir, ["text"])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def q_doc_token_quantiles(sf_dir: str):
+    """Per-language exact token-count quantiles (p25/p50/p75/p95) WITHOUT a
+    global sort: distributed value-histogram, driver-side cumulative walk.
+
+    The n_tokens domain is bounded (distinct counts ≪ documents), so exact
+    quantiles reduce to: per-batch partial (lang, n, c) histograms ->
+    groupby((lang, n)).sum(c) -> tiny cumulative scan. Quantile definition
+    (shared with the SQL oracle): smallest n whose cumulative count reaches
+    ceil(q * total) — i.e. quantile_disc semantics spelled out explicitly.
+    """
+    from nhse_probabilistic_linkage_ray.functions import textstats
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        n = textstats.token_count_ws(batch["text"].to_pylist())
+        lang_u, lang_code = np.unique(langs, return_inverse=True)
+        key = lang_code.astype(np.int64) << np.int64(32) | n
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(lang_u[(uk >> np.int64(32))].tolist(), pa.string()),
+            "n": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    hist = (_docs(sf_dir, ["lang", "text"])
+            .map_batches(partial_hist, batch_format="pyarrow")
+            .groupby(["lang", "n"]).aggregate(Sum("c", alias_name="c")))
+
+    # the reduced histogram is bounded by (languages x distinct counts) —
+    # a driver-side walk over it is the point of the histogram reduction
+    rows = hist.take_all()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["n"]), int(r["c"])))
+
+    qs = (0.25, 0.50, 0.75, 0.95)
+    out = {"lang": [], "p25": [], "p50": [], "p75": [], "p95": []}
+    for lang in sorted(by_lang):
+        pairs = sorted(by_lang[lang])
+        ns = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs], dtype=np.int64)
+        tot = int(cum[-1])
+        out["lang"].append(lang)
+        for q, col in zip(qs, ("p25", "p50", "p75", "p95")):
+            rank = int(np.ceil(q * tot))
+            out[col].append(int(ns[int(np.searchsorted(cum, rank))]))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "p25": pa.array(out["p25"], pa.int64()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p75": pa.array(out["p75"], pa.int64()),
+        "p95": pa.array(out["p95"], pa.int64()),
+    })
