@@ -107,27 +107,35 @@ def link_datasets(
 
     oriented = scored.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
 
-    def best(group: dict) -> dict:
-        w = np.asarray(group["match_weight"], dtype=np.float64)
-        mid = np.asarray(group["match_id"], dtype=np.int64)
-        order = np.lexsort((mid, -w))  # weight desc, id asc (deterministic)
-        top = order[0]
-        max_w = w[top]
+    # per-external-record top-1 via ONE sort + vectorized segment scan (the
+    # scale-safe grouped apply of stages/segments.py) — rows arrive sorted by
+    # (weight desc, match_id asc), so the group's first row IS the best match
+    def best_seg(g: dict) -> dict:
+        w = np.asarray(g["match_weight"], dtype=np.float64)
+        max_w = w[0]
         # ref mp_difference: round(max - w, 4) < threshold (incl. the best)
         n_close = int((np.round(max_w - w, 4) < close_matches_threshold).sum())
-        flag = bool(n_close > 1 and max_w >= match_weight_threshold)
         return {
-            "ext_id": [int(group["ext_id"][0])],
-            "best_match_id": [int(mid[top])],
-            "gamma": [int(np.asarray(group["gamma"])[top])],
+            "ext_id": [int(np.asarray(g["ext_id"])[0])],
+            "best_match_id": [int(np.asarray(g["match_id"])[0])],
+            "gamma": [int(np.asarray(g["gamma"])[0])],
             "match_weight": [float(max_w)],
-            "match_probability": [float(np.asarray(group["match_probability"])[top])],
+            "match_probability": [float(np.asarray(g["match_probability"])[0])],
             "n_close": [n_close],
-            "close_match": [flag],
+            "close_match": [bool(n_close > 1 and max_w >= match_weight_threshold)],
         }
 
-    matched = oriented.groupby("ext_id").map_groups(best, batch_format="numpy") \
-        .materialize()
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
+
+    best_schema = pa.schema([
+        ("ext_id", pa.int64()), ("best_match_id", pa.int64()),
+        ("gamma", pa.int64()), ("match_weight", pa.float64()),
+        ("match_probability", pa.float64()), ("n_close", pa.int64()),
+        ("close_match", pa.bool_()),
+    ])
+    matched = grouped_segment_apply(
+        oriented, "ext_id", ["ext_id", "match_weight", "match_id"],
+        [False, True, False], best_seg, best_schema).materialize()
 
     # outer-join completion: external records with no candidates
     mchunks = [b["ext_id"].to_numpy(zero_copy_only=False)
