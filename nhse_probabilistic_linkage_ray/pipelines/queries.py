@@ -321,6 +321,22 @@ REGISTRY: dict = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """),
+    "embedding_dedup_keep_one": (qd.q_embedding_dedup_keep_one, """
+        WITH RECURSIVE p AS (
+          SELECT a.vec_id AS x, b.vec_id AS y
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        ),
+        edges AS (SELECT x, y FROM p UNION SELECT y AS x, x AS y FROM p),
+        walk(vec_id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.y, w.lbl FROM walk w JOIN edges e ON e.x = w.vec_id
+        )
+        SELECT vec_id::BIGINT AS vec_id, min(lbl)::BIGINT AS cluster_id,
+               (vec_id = min(lbl)) AS kept
+        FROM walk GROUP BY vec_id
+    """),
     "embedding_near_dup_lsh": (
         # hyperplane-LSH scale path for the same contract — rows-only for the
         # driver (banding recall is probabilistic); subset-of-exact + recall

@@ -847,3 +847,39 @@ def q_doc_token_quantiles(sf_dir: str):
         "p75": pa.array(out["p75"], pa.int64()),
         "p95": pa.array(out["p95"], pa.int64()),
     })
+
+
+def q_embedding_dedup_keep_one(sf_dir: str, threshold: float = 0.4):
+    """SemDeDup-shaped semantic dedup over the embedding column: exact cosine
+    near-dup pair graph -> connected components -> one keeper per semantic
+    group (cluster_id = min vec_id; kept = vec_id == cluster_id).
+
+    Composes two already-verified distributed pieces: the blockwise exact
+    cosine pair product (q_embedding_near_dup_pairs) and the pipeline's
+    connected-components stage (driver union-find below the proven edge
+    bound, large-star/small-star above it). The at-scale variant swaps the
+    exact pair product for the hyperplane-LSH path (embedding_near_dup_lsh)
+    feeding the same components stage."""
+    from nhse_probabilistic_linkage_ray.config import PipelineConfig
+    from nhse_probabilistic_linkage_ray.stages.cluster import assign_clusters, connected_components
+
+    pairs = q_embedding_near_dup_pairs(sf_dir, threshold)
+    edges = pairs.map_batches(
+        lambda t: t.select(["left_id", "right_id"]).rename_columns(["u", "v"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    comps = connected_components(edges, PipelineConfig())
+    ids = _load_embeddings(sf_dir).map_batches(
+        lambda t: pa.table({"file_id": t["vec_id"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    assigned = assign_clusters(ids, comps, PipelineConfig())
+
+    def finish(t: pa.Table) -> pa.Table:
+        vid = t["file_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "cluster_id": pa.array(cl, pa.int64()),
+            "kept": pa.array(vid == cl, pa.bool_()),
+        })
+
+    return assigned.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
