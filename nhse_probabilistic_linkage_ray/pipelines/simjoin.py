@@ -42,7 +42,7 @@ import ray
 import ray.data
 
 from nhse_probabilistic_linkage_ray.functions.hashing import hash_strings_u64
-from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_sorted
+from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_flat
 from nhse_probabilistic_linkage_ray.stages.candidates import pairs_from_bands
 
 _WORD = re.compile(r"\w+")
@@ -190,6 +190,36 @@ class _TokenIndex:
         vals, offs = self.views[b]
         return vals[offs[r]:offs[r + 1]]
 
+    def gather_flat(self, ids: np.ndarray):
+        """Vectorized ragged gather: token sets of ``ids`` as one flat uint64
+        array + offsets — one searchsorted for the whole batch, one fancy-index
+        copy per source block, no per-row Python."""
+        n = len(ids)
+        i = np.searchsorted(self.sorted_fid, ids)
+        locs = self.sorted_loc[i]
+        b_arr, r_arr = locs[:, 0], locs[:, 1]
+        lens = np.empty(n, np.int64)
+        for b in np.unique(b_arr):
+            m = b_arr == b
+            _, offs = self.views[b]
+            lens[m] = offs[r_arr[m] + 1] - offs[r_arr[m]]
+        out_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=out_offs[1:])
+        flat = np.empty(out_offs[-1], np.uint64)
+        for b in np.unique(b_arr):
+            m = np.flatnonzero(b_arr == b)
+            vals, offs = self.views[b]
+            rl = lens[m]
+            tot = int(rl.sum())
+            if tot == 0:
+                continue
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(rl)[:-1])), rl)
+            src = np.repeat(offs[r_arr[m]], rl) + within
+            dst = np.repeat(out_offs[m], rl) + within
+            flat[dst] = vals[src]
+        return flat, out_offs
+
 
 _VERIFY_CACHE: dict = {}
 
@@ -202,9 +232,9 @@ def _verify_task(batch: pa.Table, block_refs: tuple, threshold: float, cache_key
         _VERIFY_CACHE[cache_key] = idx
     left = batch["left_id"].to_numpy(zero_copy_only=False)
     right = batch["right_id"].to_numpy(zero_copy_only=False)
-    jac = np.empty(len(left), np.float64)
-    for i in range(len(left)):
-        jac[i] = jaccard_sorted(idx.get(int(left[i])), idx.get(int(right[i])))
+    lf, lo = idx.gather_flat(left)
+    rf, ro = idx.gather_flat(right)
+    jac = jaccard_flat(lf, lo, rf, ro)
     keep = jac >= threshold
     return pa.table({
         "left_id": pa.array(left[keep], pa.int64()),

@@ -236,6 +236,42 @@ def raw_band_pairs(
     return interior.union(boundary_pairs)
 
 
+def _dedup_scan_block(batch: pa.Table) -> pa.Table:
+    """One block of the raw pair table, globally sorted by (left_id,
+    right_id): interior pair-keys reduce to min(match_key)/max(capped) via
+    reduceat — zero per-group Python; rows of the block's first and last key
+    are deferred (tag=1) to the tiny boundary pass."""
+    n = len(batch)
+    if n == 0:
+        return batch.append_column("tag", pa.array([], pa.uint8()))
+    l = batch["left_id"].to_numpy(zero_copy_only=False)
+    r = batch["right_id"].to_numpy(zero_copy_only=False)
+    mk = batch["match_key"].to_numpy(zero_copy_only=False)
+    cp = batch["capped"].to_numpy(zero_copy_only=False)
+    defer = ((l == l[0]) & (r == r[0])) | ((l == l[-1]) & (r == r[-1]))
+    interior = np.flatnonzero(~defer)
+    if len(interior):
+        il, ir, imk, icp = l[interior], r[interior], mk[interior], cp[interior]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((il[1:] != il[:-1]) | (ir[1:] != ir[:-1])) + 1))
+        out_l, out_r = il[starts], ir[starts]
+        out_mk = np.minimum.reduceat(imk, starts)
+        out_cp = np.maximum.reduceat(icp, starts)
+    else:
+        out_l = out_r = np.empty(0, l.dtype)
+        out_mk = np.empty(0, mk.dtype)
+        out_cp = np.empty(0, cp.dtype)
+    d = np.flatnonzero(defer)
+    return pa.table({
+        "left_id": pa.array(np.concatenate([out_l, l[d]]), pa.int64()),
+        "right_id": pa.array(np.concatenate([out_r, r[d]]), pa.int64()),
+        "match_key": pa.array(np.concatenate([out_mk, mk[d]]), pa.int32()),
+        "capped": pa.array(np.concatenate([out_cp, cp[d]]), pa.uint8()),
+        "tag": pa.array(np.concatenate([np.zeros(len(out_l), np.uint8),
+                                        np.ones(len(d), np.uint8)]), pa.uint8()),
+    })
+
+
 def pairs_from_bands(
     bands: "ray.data.Dataset", max_band_group: int, max_pairs: int
 ) -> "ray.data.Dataset":
@@ -244,14 +280,50 @@ def pairs_from_bands(
     files sharing a band_hash. The LSH candidate stage uses it with MinHash
     band hashes; the exact similarity join (pipelines/simjoin.py) uses it
     with prefix tokens and caps disabled. Sort + vectorized segment scan +
-    tiny boundary pass, as documented on candidate_pairs."""
+    tiny boundary pass, as documented on candidate_pairs.
+
+    Cross-band dedup (min match_key wins — Splink match_key provenance, D4)
+    is ALSO sort + reduceat segment scan: a hash groupby-aggregate here pays
+    the hash-shuffle aggregator floor on the pre-dedup pair stream (measured
+    19.6s vs ~3s for the sort path on a 1.1M-row pair table), while the sort
+    reuses the same range-partitioned machinery as the band scan."""
     raw_pairs = raw_band_pairs(bands, max_band_group, max_pairs)
 
-    # cross-band dedup: min match_key wins (Splink match_key provenance, D4)
-    return raw_pairs.groupby(["left_id", "right_id"]).aggregate(
-        Min("match_key", alias_name="match_key"),
-        Max("capped", alias_name="capped"),
+    scanned = raw_pairs.sort(["left_id", "right_id"]).map_batches(
+        _dedup_scan_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+
+    interior = scanned.map_batches(
+        lambda t: t.filter(pa.array(t["tag"].to_numpy(zero_copy_only=False) == 0))
+                   .select(["left_id", "right_id", "match_key", "capped"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
+    deferred = scanned.map_batches(
+        lambda t: t.filter(pa.array(t["tag"].to_numpy(zero_copy_only=False) == 1))
+                   .select(["left_id", "right_id", "match_key", "capped"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def reduce_boundary(group: dict) -> dict:
+        return {
+            "left_id": [np.asarray(group["left_id"])[0]],
+            "right_id": [np.asarray(group["right_id"])[0]],
+            "match_key": [np.min(np.asarray(group["match_key"]))],
+            "capped": [np.max(np.asarray(group["capped"]))],
+        }
+
+    boundary = deferred.groupby(["left_id", "right_id"]).map_groups(
+        reduce_boundary, batch_format="numpy")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": t["left_id"].combine_chunks().cast(pa.int64()),
+            "right_id": t["right_id"].combine_chunks().cast(pa.int64()),
+            "match_key": t["match_key"].combine_chunks().cast(pa.int32()),
+            "capped": t["capped"].combine_chunks().cast(pa.uint8()),
+        })
+
+    return interior.union(boundary.map_batches(cast, batch_format="pyarrow"))
 
 
 def pairs_per_band_counts(bands_ds: "ray.data.Dataset") -> "ray.data.Dataset":
