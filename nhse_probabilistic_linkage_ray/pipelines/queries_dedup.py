@@ -492,17 +492,26 @@ def q_tf_adjusted_weights(sf_dir: str):
         as_mapped, batch_format="pyarrow", zero_copy_batch=True).materialize()
     total = docs.count()
 
-    # rep per group (broadcast: group cardinality is tiny by construction)
-    reps: dict = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        for g, f in zip(b["group"].to_pylist(), b["file_id"].to_pylist()):
-            if g not in reps or f < reps[g]:
-                reps[g] = f
-    ref = ray.put(reps)
+    # rep per group: distributed groupby-min; only the (tiny) one-row-per-group
+    # result reaches the driver for the broadcast lookup (numpy chunk collect —
+    # no Arrow concat, so empty shuffle blocks with degenerate schemas are fine)
+    gch, ich = [], []
+    for b in docs.groupby("group").min("file_id").iter_batches(batch_format="pyarrow"):
+        if len(b) == 0 or "group" not in b.column_names:
+            continue
+        gch.append(b["group"].to_numpy(zero_copy_only=False))
+        ich.append(b["min(file_id)"].to_numpy(zero_copy_only=False))
+    g_all = np.concatenate(gch) if gch else np.empty(0, object)
+    rep_all = (np.concatenate(ich) if ich else np.empty(0)).astype(np.int64)
+    order = np.argsort(g_all)
+    rep_groups = g_all[order]
+    rep_ids = rep_all[order]
+    ref = ray.put((rep_groups, rep_ids))
 
     def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        rep = [m[g] for g in batch["group"].to_pylist()]
+        groups, ids = ray.get(ref)
+        g = batch["group"].combine_chunks().to_numpy(zero_copy_only=False)
+        rep = ids[np.searchsorted(groups, g)]
         return pa.table({
             "file_id": batch["file_id"].combine_chunks(),
             "rep_id": pa.array(rep, pa.int64()),

@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from nhse_probabilistic_linkage_ray.config import GAMMA_ELSE, GAMMA_JACCARD_HI, GAMMA_JACCARD_LO, GAMMA_RESCUED, PipelineConfig, TIER_NAMES
-from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_sorted
+from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_flat
 from nhse_probabilistic_linkage_ray.functions.lcs import lcs_fraction
 from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
 
@@ -125,9 +125,10 @@ class FeatureIndex:
 
     def gather(self, ids: np.ndarray, num_perms: int):
         """Vectorized batch gather: ONE searchsorted over all ids + per-block
-        fancy indexing (replaces a per-row Python __getitem__ loop). The only
-        remaining per-row work is slicing the ragged shingle/token views —
-        zero-copy numpy views, no hashing or search."""
+        fancy indexing (replaces a per-row Python __getitem__ loop). Ragged
+        shingle/token sets come back as flat (values, offsets) pair layouts —
+        row i is ``flat[offs[i]:offs[i+1]]`` — built with the repeat/arange
+        ragged copy (no per-row Python)."""
         n = len(ids)
         i = np.searchsorted(self.sorted_fid, ids)
         if len(self.sorted_fid) == 0 or np.any(i >= len(self.sorted_fid)) \
@@ -136,25 +137,80 @@ class FeatureIndex:
                           | (self.sorted_fid[np.minimum(i, len(self.sorted_fid) - 1)] != ids)]
             raise KeyError(int(missing[0]))
         locs = self.sorted_loc[i]
+        b_arr, r_arr = locs[:, 0], locs[:, 1]
+        blocks = np.unique(b_arr)
         sig = np.empty((n, num_perms), dtype=np.uint64)
         sim = np.empty(n, dtype=np.uint64)
-        sh: list = [None] * n
-        th: list = [None] * n
-        for b in np.unique(locs[:, 0]):
-            m = locs[:, 0] == b
-            rows = locs[m, 1]
+        sh_lens = np.empty(n, dtype=np.int64)
+        th_lens = np.empty(n, dtype=np.int64)
+        for b in blocks:
+            m = b_arr == b
+            rows = r_arr[m]
             _fid, sigs, simh, shv, sho, thv, tho = self.views[b]
             sig[m] = sigs[rows]
             sim[m] = np.asarray(simh, dtype=np.uint64)[rows]
-            for out_i, r in zip(np.flatnonzero(m), rows):
-                sh[out_i] = shv[sho[r]:sho[r + 1]]
-                th[out_i] = thv[tho[r]:tho[r + 1]]
-        return sig, sim, sh, th
+            sh_lens[m] = np.asarray(sho, np.int64)[rows + 1] - np.asarray(sho, np.int64)[rows]
+            th_lens[m] = np.asarray(tho, np.int64)[rows + 1] - np.asarray(tho, np.int64)[rows]
+        sh_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(sh_lens, out=sh_offs[1:])
+        th_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(th_lens, out=th_offs[1:])
+        sh_flat = np.empty(int(sh_offs[-1]), np.uint64)
+        th_flat = np.empty(int(th_offs[-1]), np.uint64)
+        for b in blocks:
+            m = np.flatnonzero(b_arr == b)
+            rows = r_arr[m]
+            _fid, _sigs, _simh, shv, sho, thv, tho = self.views[b]
+            _ragged_copy(shv, np.asarray(sho, np.int64), rows, sh_flat, sh_offs, m, sh_lens)
+            _ragged_copy(thv, np.asarray(tho, np.int64), rows, th_flat, th_offs, m, th_lens)
+        return sig, sim, (sh_flat, sh_offs), (th_flat, th_offs)
 
 
-def _features_to_dict(sig_table: pa.Table, num_perms: int) -> FeatureIndex:
-    """Single-table convenience used by the join path."""
-    return FeatureIndex([sig_table], num_perms)
+def _ragged_copy(src_vals, src_offs, rows, dst_flat, dst_offs, dst_rows, all_lens):
+    """Copy ragged rows ``rows`` of (src_vals, src_offs) into their slots
+    ``dst_rows`` of the flat output — pure repeat/arange index arithmetic."""
+    rl = all_lens[dst_rows]
+    tot = int(rl.sum())
+    if tot == 0:
+        return
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(rl)[:-1])), rl)
+    src = np.repeat(src_offs[rows], rl) + within
+    dst = np.repeat(dst_offs[dst_rows], rl) + within
+    dst_flat[dst] = src_vals[src]
+
+
+def _subset_ragged(flat: np.ndarray, offs: np.ndarray, sel: np.ndarray):
+    """Rows ``sel`` of a flat ragged layout as a new compact flat layout."""
+    lens = np.diff(offs)[sel]
+    new_offs = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(lens, out=new_offs[1:])
+    tot = int(new_offs[-1])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(new_offs[:-1], lens)
+    src = np.repeat(np.asarray(offs, np.int64)[sel], lens) + within
+    return flat[src], new_offs
+
+
+def _binary_from_flat(vals: np.ndarray, elem_offs: np.ndarray) -> pa.LargeBinaryArray:
+    """large_binary column from a flat uint64 layout WITHOUT per-row tobytes:
+    the Arrow values buffer is the flat array's bytes, offsets are elem*8."""
+    byte_offs = np.ascontiguousarray(elem_offs, dtype=np.int64) * 8
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(elem_offs) - 1,
+        [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(vals.tobytes())])
+
+
+def _binary_to_flat(col) -> tuple:
+    """Inverse of _binary_from_flat: (flat uint64 values, element offsets)
+    views over a large_binary column's buffers — zero-copy, no to_pylist."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    byte_offs = np.frombuffer(bufs[1], np.int64)[arr.offset:arr.offset + len(arr) + 1]
+    if len(arr) == 0 or bufs[2] is None:
+        return np.empty(0, np.uint64), np.zeros(len(arr) + 1, np.int64)
+    raw = np.frombuffer(bufs[2], np.uint8)
+    seg = raw[byte_offs[0]:byte_offs[-1]]
+    return seg.view(np.uint64), (byte_offs - byte_offs[0]) // 8
 
 
 def _rescore_from_gamma(cfg: PipelineConfig, gamma: np.ndarray):
@@ -218,53 +274,63 @@ def _score_task(batch: pa.Table, cfg_json: str, block_refs: tuple, cache_key: st
     return score_pair_batch(cfg, batch, idx)
 
 
-def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: dict) -> pa.Table:
+def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureIndex) -> pa.Table:
     left = batch["left_id"].to_numpy(zero_copy_only=False)
     right = batch["right_id"].to_numpy(zero_copy_only=False)
-    n = len(left)
     P = cfg.num_perms
+    sigL, simL, shL, thL = features.gather(left, P)
+    sigR, simR, shR, thR = features.gather(right, P)
+    return _score_from_flat(cfg, batch, left, right,
+                            sigL, simL, shL, thL, sigR, simR, shR, thR)
 
-    # threshold comparisons at DOUBLE precision (a float32 round of an exact
-    # rational like 7/10 lands below the 0.7 threshold); stored as float32
-    jac = np.zeros(n, dtype=np.float64)
-    if hasattr(features, "gather"):
-        sigL, simL, shL, thL = features.gather(left, P)
-        sigR, simR, shR, thR = features.gather(right, P)
-    else:
-        sigL = np.empty((n, P), dtype=np.uint64)
-        sigR = np.empty((n, P), dtype=np.uint64)
-        simL = np.empty(n, dtype=np.uint64)
-        simR = np.empty(n, dtype=np.uint64)
-        shL, shR, thL, thR = [], [], [], []
-        for i in range(n):
-            fl = features[int(left[i])]
-            fr = features[int(right[i])]
-            sigL[i], simL[i] = fl[0], fl[1]
-            sigR[i], simR[i] = fr[0], fr[1]
-            shL.append(fl[2]); shR.append(fr[2])
-            thL.append(fl[3]); thR.append(fr[3])
+
+def _score_from_flat(
+    cfg: PipelineConfig, batch: pa.Table,
+    left: np.ndarray, right: np.ndarray,
+    sigL, simL, shL, thL, sigR, simR, shR, thR,
+) -> pa.Table:
+    """Vectorized scoring core over flat ragged feature layouts: ``shL`` /
+    ``thL`` (and R) are (flat_values, offsets) pairs; row i's set is
+    ``flat[offs[i]:offs[i+1]]``."""
+    n = len(left)
+    shLf, shLo = shL
+    thLf, thLo = thL
+    shRf, shRo = shR
+    thRf, thRo = thR
 
     est = (sigL == sigR).mean(axis=1).astype(np.float32)
     ham = hamming_distance(simL, simR)
 
     # exact Jaccard only where the estimate clears the rescue floor — pairs far
-    # below threshold are decided cheap (est is within ~4/sqrt(P) whp)
+    # below threshold are decided cheap (est is within ~4/sqrt(P) whp).
+    # threshold comparisons at DOUBLE precision (a float32 round of an exact
+    # rational like 7/10 lands below the 0.7 threshold); stored as float32
+    jac = np.zeros(n, dtype=np.float64)
     need_exact = est >= cfg.rescue_low
-    for i in np.flatnonzero(need_exact):
-        jac[i] = jaccard_sorted(shL[i], shR[i])
+    sel = np.flatnonzero(need_exact)
+    if sel.size:
+        lf, lo = _subset_ragged(shLf, shLo, sel)
+        rf, ro = _subset_ragged(shRf, shRo, sel)
+        jac[sel] = jaccard_flat(lf, lo, rf, ro)
 
     # LCS rescue only for near-misses that fail both Jaccard and SimHash
+    # (per-pair: LCS is a true dynamic program; the near-miss set is small)
     lcs = np.zeros(n, dtype=np.float64)
     need_lcs = need_exact & (jac < cfg.jaccard_threshold) & (ham > cfg.simhash_hamming_max)
     for i in np.flatnonzero(need_lcs):
-        lcs[i] = lcs_fraction(thL[i], thR[i])
+        lcs[i] = lcs_fraction(thLf[thLo[i]:thLo[i + 1]], thRf[thRo[i]:thRo[i + 1]])
 
     gamma, w, prob, tier = _score_arrays(cfg, est, jac, ham, lcs)
 
     # user-registered comparison level (§2.10): lift ELSE pairs whose plugin
-    # score clears the threshold into the rescue tier
+    # score clears the threshold into the rescue tier. The plugin API contract
+    # is per-pair array lists; materialize the (zero-copy) slices only here.
     if cfg.plugin_scorer:
-        ps = _plugin_scores(cfg.plugin_scorer, shL, shR, thL, thR)
+        shL_l = [shLf[shLo[i]:shLo[i + 1]] for i in range(n)]
+        shR_l = [shRf[shRo[i]:shRo[i + 1]] for i in range(n)]
+        thL_l = [thLf[thLo[i]:thLo[i + 1]] for i in range(n)]
+        thR_l = [thRf[thRo[i]:thRo[i + 1]] for i in range(n)]
+        ps = _plugin_scores(cfg.plugin_scorer, shL_l, shR_l, thL_l, thR_l)
         lift = (gamma == GAMMA_ELSE) & (ps >= cfg.plugin_threshold)
         if lift.any():
             gamma = gamma.copy()
@@ -387,20 +453,19 @@ def score_stage(
 
     def pack_lists(batch: pa.Table) -> pa.Table:
         # uint64 simhash -> int64 bit-reinterpretation (Arrow cast range-checks)
+        n = len(batch)
         sim_i64 = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.int64)
         cols = {"file_id": batch["file_id"].combine_chunks(),
                 "simhash": pa.array(sim_i64, pa.int64())}
         mh = batch["minhash"].combine_chunks()
-        cols["minhash_bin"] = pa.array(
-            [v.tobytes() for v in np.asarray(mh.flatten()).reshape(len(batch), -1)],
-            pa.large_binary())
+        mh_vals = np.ascontiguousarray(np.asarray(mh.flatten()), dtype=np.uint64)
+        P = len(mh_vals) // n if n else 0
+        cols["minhash_bin"] = _binary_from_flat(mh_vals, np.arange(n + 1, dtype=np.int64) * P)
         for name in ("shingles", "token_hashes"):
             col = batch[name].combine_chunks()
-            vals = np.asarray(col.values)
-            offs = np.asarray(col.offsets)
-            cols[name + "_bin"] = pa.array(
-                [vals[offs[i]:offs[i + 1]].tobytes() for i in range(len(batch))],
-                pa.large_binary())
+            vals = np.ascontiguousarray(np.asarray(col.values), dtype=np.uint64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            cols[name + "_bin"] = _binary_from_flat(vals, offs)
         return pa.table(cols)
 
     feat = signatures_ds.select_columns(
@@ -421,6 +486,9 @@ def score_stage(
     cfg_json = config.to_json()
 
     def score_joined(batch: pa.Table) -> pa.Table:
+        # the joined row ALREADY carries both sides' features in row order —
+        # no id lookup at all; unpack the binary payloads zero-copy (the
+        # values buffer of each large_binary column IS the flat uint64 layout)
         cfg = PipelineConfig.from_json(cfg_json)
         cols = batch.column_names
 
@@ -434,24 +502,20 @@ def score_stage(
 
         def side_feats(side):
             P = cfg.num_perms
-            mh_bin = pick("minhash_bin", side).to_pylist()
-            mh = [np.frombuffer(b, dtype=np.uint64) for b in mh_bin]
-            sim = pick("simhash", side).to_numpy(zero_copy_only=False).view(np.uint64)
-            sh = [np.frombuffer(b, dtype=np.uint64) for b in pick("shingles_bin", side).to_pylist()]
-            th = [np.frombuffer(b, dtype=np.uint64) for b in pick("token_hashes_bin", side).to_pylist()]
-            return mh, sim, sh, th
+            mh_flat, _ = _binary_to_flat(pick("minhash_bin", side))
+            sig = mh_flat.reshape(n, P) if n else mh_flat.reshape(0, P)
+            sim = pick("simhash", side).combine_chunks().to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            sh = _binary_to_flat(pick("shingles_bin", side))
+            th = _binary_to_flat(pick("token_hashes_bin", side))
+            return sig, sim, sh, th
 
-        mhL, simL, shL, thL = side_feats("_L")
-        mhR, simR, shR, thR = side_feats("_r")
-
-        ids_l = batch["left_id"].to_numpy(zero_copy_only=False)
-        ids_r = batch["right_id"].to_numpy(zero_copy_only=False)
-        # transient per-batch dict — ids can repeat; same features either way
-        fdict = {}
-        for i in range(n):
-            fdict[int(ids_l[i])] = (mhL[i], np.uint64(simL[i]), shL[i], thL[i])
-            fdict[int(ids_r[i])] = (mhR[i], np.uint64(simR[i]), shR[i], thR[i])
+        sigL, simL, shL, thL = side_feats("_L")
+        sigR, simR, shR, thR = side_feats("_r")
+        left = batch["left_id"].to_numpy(zero_copy_only=False)
+        right = batch["right_id"].to_numpy(zero_copy_only=False)
         slim = pa.table({k2: batch[k2] for k2 in ("left_id", "right_id", "match_key", "capped")})
-        return score_pair_batch(cfg, slim, fdict)
+        return _score_from_flat(cfg, slim, left, right,
+                                sigL, simL, shL, thL, sigR, simR, shR, thR)
 
     return joined.map_batches(score_joined, batch_format="pyarrow", batch_size=4096)

@@ -7,6 +7,7 @@ Usage: python tools/check_queries.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -55,8 +56,9 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data as _rd
 
     _rd.DataContext.get_current().enable_progress_bars = False
@@ -64,7 +66,6 @@ def main():
     from nhse_probabilistic_linkage_ray.pipelines.queries import oracle_sql, queries
 
     con = duckdb.connect()
-    import os
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
