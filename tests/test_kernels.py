@@ -234,3 +234,63 @@ class TestLCS:
             a = rng.integers(0, 5, size=rng.integers(1, 40)).astype(np.uint64)
             b = rng.integers(0, 5, size=rng.integers(1, 40)).astype(np.uint64)
             assert lcs_length(a, b) == brute(a.tolist(), b.tolist())
+
+
+class TestFlatRaggedHelpers:
+    """Buffer-level ragged helpers in stages/score.py: subset, Arrow binary
+    pack/unpack round-trip (incl. a SLICED column, whose offsets don't start
+    at byte 0)."""
+
+    def test_subset_ragged(self):
+        from nhse_probabilistic_linkage_ray.stages.score import _subset_ragged
+
+        flat = np.array([10, 11, 20, 30, 31, 32], dtype=np.uint64)
+        offs = np.array([0, 2, 3, 3, 6], dtype=np.int64)  # rows: [10,11],[20],[],[30,31,32]
+        sel = np.array([3, 0, 2], dtype=np.int64)
+        f, o = _subset_ragged(flat, offs, sel)
+        assert o.tolist() == [0, 3, 5, 5]
+        assert f.tolist() == [30, 31, 32, 10, 11]
+
+    def test_binary_pack_unpack_roundtrip(self):
+        from nhse_probabilistic_linkage_ray.stages.score import (
+            _binary_from_flat,
+            _binary_to_flat,
+        )
+
+        vals = np.arange(7, dtype=np.uint64) * 1_000_003
+        offs = np.array([0, 3, 3, 7], dtype=np.int64)
+        arr = _binary_from_flat(vals, offs)
+        assert arr.type == pa.large_binary() and len(arr) == 3
+        assert arr[0].as_py() == vals[0:3].tobytes()
+        assert arr[1].as_py() == b""
+        f, o = _binary_to_flat(arr)
+        assert f.tolist() == vals.tolist() and o.tolist() == offs.tolist()
+
+    def test_binary_to_flat_on_sliced_column(self):
+        from nhse_probabilistic_linkage_ray.stages.score import (
+            _binary_from_flat,
+            _binary_to_flat,
+        )
+
+        vals = np.arange(10, dtype=np.uint64)
+        offs = np.array([0, 2, 5, 9, 10], dtype=np.int64)
+        arr = _binary_from_flat(vals, offs)
+        sl = arr.slice(1, 2)  # rows [2..5), [5..9)
+        f, o = _binary_to_flat(sl)
+        assert o.tolist() == [0, 3, 7]
+        assert f.tolist() == list(range(2, 9))
+
+    def test_binary_to_flat_empty_and_chunked(self):
+        from nhse_probabilistic_linkage_ray.stages.score import (
+            _binary_from_flat,
+            _binary_to_flat,
+        )
+
+        empty = _binary_from_flat(np.empty(0, np.uint64), np.zeros(1, np.int64))
+        f, o = _binary_to_flat(empty)
+        assert len(f) == 0 and o.tolist() == [0]
+        a = _binary_from_flat(np.array([1, 2], np.uint64), np.array([0, 2], np.int64))
+        b = _binary_from_flat(np.array([3], np.uint64), np.array([0, 1], np.int64))
+        ch = pa.chunked_array([a, b])
+        f, o = _binary_to_flat(ch)
+        assert f.tolist() == [1, 2, 3] and o.tolist() == [0, 2, 3]
