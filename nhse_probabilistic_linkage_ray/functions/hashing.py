@@ -89,6 +89,30 @@ def file_id_column(repo: pa.Array, path: pa.Array, commit: pa.Array) -> np.ndarr
     return out
 
 
+def fixed_prefix_keys(col: pa.Array | pa.ChunkedArray, nbytes: int) -> np.ndarray:
+    """First ``nbytes`` bytes of every string in a null-free Arrow string
+    column as a numpy fixed-width bytes array (dtype ``S{nbytes}``) — a
+    sortable, searchsorted-able key with zero per-row Python objects.
+
+    Built straight from the column's offsets/data buffers (the repo's
+    buffer-level pattern, cf. score._binary_to_flat). Every value must be at
+    least ``nbytes`` long (asserted); group keys are fixed-width digests so
+    this always holds where it's used.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=f"S{nbytes}")
+    assert col.null_count == 0
+    bufs = col.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], off_dtype)[col.offset: col.offset + len(col) + 1]
+    assert int(np.diff(offs).min()) >= nbytes, "string shorter than key width"
+    data = np.frombuffer(bufs[2], np.uint8)
+    idx = offs[:-1].astype(np.int64)[:, None] + np.arange(nbytes)
+    return np.ascontiguousarray(data[idx]).view(f"S{nbytes}").ravel()
+
+
 def hash_pair_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Order-sensitive mix of two uint64 arrays into one (used for edge-set
     checksums in the connected-components convergence test)."""

@@ -57,6 +57,72 @@ def normalize_batch(texts: list, **kw) -> list:
     return [normalize_content(t, **kw) for t in texts]
 
 
+def normalize_content_column(col, *, strip_trailing_ws: bool = True,
+                             collapse_blank_lines: bool = True,
+                             lowercase: bool = False):
+    """Arrow-vectorized ``normalize_content`` over a whole string column.
+
+    Uses RE2 kernels (``pc.replace_substring_regex``) for the three
+    normalization regexes — all Unicode-agnostic patterns, verified
+    equivalent to the Python ``re`` forms — and ``pc.utf8_lower``. Rows that
+    are not pure ASCII are re-run through the scalar ``normalize_content``
+    so Unicode case-mapping edge cases (utf8proc vs CPython) can never
+    diverge from the oracle's Python-kernel definition.
+
+    Returns (normalized pa.Array, ascii_mask numpy bool array).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = pc.replace_substring_regex(col, pattern=r"\r\n?", replacement="\n")
+    if strip_trailing_ws:
+        # RE2 multiline '[ \t]+$' == Python '[ \t]+(?=\n)|[ \t]+\Z' (both
+        # zero-width anchors; \r already canonicalized away above)
+        t = pc.replace_substring_regex(t, pattern=r"(?m)[ \t]+$", replacement="")
+    if collapse_blank_lines:
+        t = pc.replace_substring_regex(t, pattern=r"\n{3,}", replacement="\n\n")
+    if lowercase:
+        t = pc.utf8_lower(t)
+
+    ascii_mask = pc.fill_null(pc.string_is_ascii(col), True).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        vals = t.to_pylist()
+        src = col.to_pylist()
+        for i in np.flatnonzero(~ascii_mask):
+            vals[i] = normalize_content(
+                src[i], strip_trailing_ws=strip_trailing_ws,
+                collapse_blank_lines=collapse_blank_lines, lowercase=lowercase)
+        t = pa.array(vals, type=col.type)
+    return t, ascii_mask
+
+
+def token_count_column(norm_col, ascii_mask=None):
+    """Arrow-vectorized ``len(tokenize(text))`` per row (RE2 count of the
+    token regex). RE2's ``\\w`` is ASCII-only while Python's is Unicode-aware,
+    so non-ASCII rows (per ``ascii_mask``, or detected here) fall back to the
+    scalar ``tokenize`` — bit-identical counts on any corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(norm_col, pa.ChunkedArray):
+        norm_col = norm_col.combine_chunks()
+    cnt = pc.fill_null(
+        pc.count_substring_regex(norm_col, pattern=r"\w+|[^\w\s]"), 0
+    ).cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+    if ascii_mask is None:
+        ascii_mask = pc.fill_null(pc.string_is_ascii(norm_col), True).to_numpy(
+            zero_copy_only=False)
+    if not ascii_mask.all():
+        vals = norm_col.to_pylist()
+        for i in np.flatnonzero(~ascii_mask):
+            cnt[i] = len(tokenize(vals[i]))
+    return cnt
+
+
 def strip_license_header(text: str | None) -> str | None:
     """Remove a leading comment block (license/shebang boilerplate) so that
     files differing only in header don't block on it (analog of clean_name,

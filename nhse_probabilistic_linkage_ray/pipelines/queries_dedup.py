@@ -511,7 +511,10 @@ def q_tf_adjusted_weights(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         groups, ids = ray.get(ref)
         g = batch["group"].combine_chunks().to_numpy(zero_copy_only=False)
-        rep = ids[np.searchsorted(groups, g)]
+        idx = np.minimum(np.searchsorted(groups, g), max(len(groups) - 1, 0))
+        if len(groups) == 0 or not (groups[idx] == g).all():
+            raise KeyError("group key missing from broadcast rep map")
+        rep = ids[idx]
         return pa.table({
             "file_id": batch["file_id"].combine_chunks(),
             "rep_id": pa.array(rep, pa.int64()),
@@ -777,10 +780,16 @@ def q_vocab_top_tokens(sf_dir: str, k: int = 20):
     per-batch vocabularies (bounded by distinct tokens) instead of the raw
     token stream (one row per token occurrence); the global groupby-sum then
     reduces partials, and only (n desc, token asc) top-k survives the sort.
+
+    ASCII-only tokenization contract: the DuckDB oracle's regexp engine (RE2)
+    treats ``\\w`` as ``[0-9A-Za-z_]``, so this side compiles with
+    ``re.ASCII`` to match it exactly on ANY corpus, not just ASCII ones
+    (ADVICE r2). Non-ASCII word characters are token separators on both
+    sides by definition of the query.
     """
     import re
 
-    word = re.compile(r"\w+")
+    word = re.compile(r"\w+", re.ASCII)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks: list = []

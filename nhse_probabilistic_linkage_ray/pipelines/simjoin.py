@@ -195,7 +195,10 @@ class _TokenIndex:
         array + offsets — one searchsorted for the whole batch, one fancy-index
         copy per source block, no per-row Python."""
         n = len(ids)
-        i = np.searchsorted(self.sorted_fid, ids)
+        i = np.minimum(np.searchsorted(self.sorted_fid, ids),
+                       max(len(self.sorted_fid) - 1, 0))
+        if len(self.sorted_fid) == 0 or not np.array_equal(self.sorted_fid[i], ids):
+            raise KeyError("doc_id missing from token index")
         locs = self.sorted_loc[i]
         b_arr, r_arr = locs[:, 0], locs[:, 1]
         lens = np.empty(n, np.int64)
