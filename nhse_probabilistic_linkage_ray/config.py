@@ -112,6 +112,14 @@ class PipelineConfig:
     tf_adjustment_weight: float = 0.0   # 0 = off (reference's null level uses 0)
     tf_minimum_u_value: float = 0.0
     tf_tier: int = GAMMA_EXACT          # gamma level the adjustment applies to
+    # Per-tier TF weights (gamma 0..4) — the general form of the reference's
+    # PER-COMPARISON tf_adjustment_weight (every comparison dict in
+    # /root/reference/utils/parameter_lists.py:2-247 carries its own): a user
+    # porting a Splink model with TF on a non-exact level sets the weight for
+    # that tier here. Empty () = legacy behavior (weight only at tf_tier).
+    # Non-exact tiers use tf = max(tf_left, tf_right) of the sides' exact-
+    # group frequencies (Splink's conservative greatest() for fuzzy levels).
+    tf_tier_weights: tuple = ()
 
     # --- scorer plugin (ref custom UDF registration,
     #     /root/reference/predict_dedupe.py:11; SURVEY.md §2.10): name of a
@@ -131,7 +139,7 @@ class PipelineConfig:
     @classmethod
     def from_json(cls, s: str) -> "PipelineConfig":
         d = json.loads(s)
-        for k in ("m_probabilities", "u_probabilities"):
+        for k in ("m_probabilities", "u_probabilities", "tf_tier_weights"):
             if k in d:
                 d[k] = tuple(d[k])
         return cls(**d)
@@ -160,18 +168,37 @@ class PipelineConfig:
         m, u = self.clamped_mu()
         return prior_odds + math.log2(m[gamma] / u[gamma])
 
+    def tf_weight_for(self, gamma: int) -> float:
+        """TF adjustment weight for one tier: per-tier table when configured
+        (the reference's per-comparison tf_adjustment_weight,
+        /root/reference/utils/parameter_lists.py:11-14 — every comparison
+        carries its own), else the legacy single (tf_tier, weight) pair."""
+        if self.tf_tier_weights:
+            return self.tf_tier_weights[gamma] if 0 <= gamma < len(self.tf_tier_weights) else 0.0
+        return self.tf_adjustment_weight if gamma == self.tf_tier else 0.0
+
+    @property
+    def tf_nonexact_enabled(self) -> bool:
+        """True when any non-exact tier has a TF weight — gates the optional
+        tf_value plumbing through exact grouping -> signatures -> scorer (zero
+        cost when off)."""
+        return any(self.tf_weight_for(g) != 0.0 for g in range(GAMMA_EXACT))
+
     def tf_adjusted_match_weight(self, gamma: int, tf_value: float) -> float:
         """Splink 3.9 term-frequency arithmetic for one pair: the level's
         log2 Bayes factor gains ``weight * log2(u_level / max(tf, tf_min))``
         when the pair agrees on the TF column with relative frequency
         ``tf_value`` (ref keys at /root/reference/utils/parameter_lists.py:11-14).
-        With tf_adjustment_weight == 0 this IS match_weight(gamma)."""
+        With a zero weight for the tier this IS match_weight(gamma)."""
         w = self.match_weight(gamma)
-        if gamma != self.tf_tier or self.tf_adjustment_weight == 0 or tf_value <= 0:
+        if gamma < 0 or tf_value <= 0:
+            return w
+        tw = self.tf_weight_for(gamma)
+        if tw == 0:
             return w
         _, u = self.clamped_mu()
         tf = max(tf_value, self.tf_minimum_u_value)
-        return w + self.tf_adjustment_weight * math.log2(u[gamma] / tf)
+        return w + tw * math.log2(u[gamma] / tf)
 
     @staticmethod
     def weight_to_probability(w: float) -> float:

@@ -119,6 +119,35 @@ def hash_pair_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return mix64(a.astype(_U64) * _U64(0x9E3779B97F4A7C15) ^ mix64(b.astype(_U64)))
 
 
+def pair_keys_v16(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Canonical unordered (min,max) int64 pairs packed as a fixed-width
+    16-byte void array — sortable / searchsorted-able with EXACT equality
+    (memcmp, no hashing), the vectorized replacement for per-row
+    ``(l, r) in truth_set`` probes (VERDICT r2 fix #8)."""
+    m = np.empty((len(left), 2), np.int64)
+    np.minimum(left, right, out=m[:, 0])
+    np.maximum(left, right, out=m[:, 1])
+    return np.ascontiguousarray(m).view("V16").ravel()
+
+
+def sorted_pair_keys(pairs) -> np.ndarray:
+    """Iterable of (u, v) int pairs -> sorted canonical V16 key array for
+    broadcast + ``pair_member_mask`` probing."""
+    arr = np.asarray(list(pairs) if not isinstance(pairs, np.ndarray) else pairs,
+                     dtype=np.int64).reshape(-1, 2)
+    return np.sort(pair_keys_v16(arr[:, 0], arr[:, 1]))
+
+
+def pair_member_mask(sorted_keys: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Vectorized membership of each (left, right) pair (order-insensitive)
+    in a ``sorted_pair_keys`` array."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(left), dtype=bool)
+    k = pair_keys_v16(left, right)
+    i = np.minimum(np.searchsorted(sorted_keys, k), len(sorted_keys) - 1)
+    return sorted_keys[i] == k
+
+
 def stable_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic hash bucket for partitioned joins / salting — replaces
     the reference's rand()-bucket subsampling (SURVEY.md O2: hash-based, never

@@ -25,6 +25,10 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from nhse_probabilistic_linkage_ray.functions.hashing import (
+    pair_member_mask,
+    sorted_pair_keys,
+)
 from nhse_probabilistic_linkage_ray.stages.report import confusion_one_pass
 
 
@@ -62,7 +66,7 @@ def evaluate_dedupe(
         scored_ds = scored_ds.select_columns(
             ["left_id", "right_id", "gamma", "match_weight"]).union(exact)
     truth = _norm_pairs(truth_pairs)
-    truth_ref = ray.put(frozenset(truth))
+    truth_ref = ray.put(sorted_pair_keys(truth) if truth else np.empty(0, "V16"))
     # confusion thresholds are in MATCH-WEIGHT space (log2 Bayes factor) —
     # the reference thresholds weights (MATCH_WEIGHT_THRESHOLD = 5,
     # parameters_dedupe.py:22); absolute match_probability is prior-dominated
@@ -74,14 +78,12 @@ def evaluate_dedupe(
     # "linked" uses the PIPELINE's decision boundary (gamma >= the cluster
     # tier), exactly what connected components consumed.
     def tally(batch: pa.Table) -> pa.Table:
-        t = ray.get(truth_ref)
-        l = batch["left_id"].to_numpy(zero_copy_only=False)
-        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        truth_keys = ray.get(truth_ref)
+        l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         g = batch["gamma"].to_numpy(zero_copy_only=False)
         linked = g >= link_min_gamma
-        is_true = np.fromiter(
-            ((min(int(l[i]), int(r[i])), max(int(l[i]), int(r[i]))) in t
-             for i in range(len(l))), dtype=bool, count=len(l))
+        is_true = pair_member_mask(truth_keys, l, r)
         return pa.table({
             "tp": pa.array([int((linked & is_true).sum())], pa.int64()),
             "fp": pa.array([int((linked & ~is_true).sum())], pa.int64()),

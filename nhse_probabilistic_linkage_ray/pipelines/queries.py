@@ -287,12 +287,27 @@ REGISTRY: dict = {
         ) WHERE rk <= 10
     """),
     "ann_ivf_topk": (
-        # IVF approximate path — recall vs the brute-force baseline is pinned
-        # by tests/test_arrays_similarity.py; rows-only for the driver
+        # IVF approximate path with an in-query recall gate (VERDICT r2 #7):
+        # the callable runs BOTH the nprobe=4 approximate probe and the exact
+        # full probe, raises if set-recall < 0.9 (failing the driver row),
+        # and returns the exact rows — which this brute-force SQL oracle
+        # hash-verifies. Recall is additionally pinned by
+        # tests/test_arrays_similarity.py.
         (lambda sf_dir: __import__(
             "nhse_probabilistic_linkage_ray.pipelines.similarity",
-            fromlist=["ann_ivf_topk"]).ann_ivf_topk(sf_dir)),
-        None,
+            fromlist=["ann_ivf_topk_checked"]).ann_ivf_topk_checked(sf_dir)),
+        """
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+                 ) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < 5
+        ) WHERE rk <= 10
+    """,
     ),
     "ann_ivf_full_probe": (
         # same IVF machinery (centroid training, assignment, per-query probe

@@ -156,6 +156,83 @@ def average_m_values(models: list) -> tuple:
     return tuple(float(x) for x in mean)
 
 
+def run_training(
+    files_ds: "ray.data.Dataset",
+    config: PipelineConfig,
+    *,
+    n_training_rules: int = 4,
+    max_u_pairs: int = 1_000_000,
+    store_dir: str | None = None,
+    description: str = "trained model",
+) -> dict:
+    """Orchestrated multi-rule training end-to-end — the composed form of the
+    reference's training lifecycle (SURVEY.md §3.1 step 5,
+    ``/root/reference/notebooks_dedupe/training_dedupe.py:105-155``):
+
+    1. ingest -> exact groups -> signatures (shared stages, run once),
+    2. ``estimate_u`` from capped deterministic random pairs (ref :105),
+    3. EM **per training blocking rule** — the ref loops 7 training blocking
+       rules, re-running EM per rule (:112-129). Here a training rule is a
+       band-subset: pairs carry ``match_key`` = the (minimum) band that found
+       them, and rule i owns bands ``i, i+n, i+2n, ...`` — n disjoint
+       candidate-pair strata from ONE banding pass instead of n re-blockings,
+    4. ``average_m_values`` across the per-rule models + mean prior
+       (ref ``get_average_m_values_from_models``, :139-155),
+    5. optional save to the model store (ref ``save_model_to_json``).
+
+    Returns {"config": trained PipelineConfig, "per_rule_m": [...],
+    "u": tuple, "prior": float, "model_path": str | None}.
+    """
+    from nhse_probabilistic_linkage_ray.stages.candidates import candidate_pairs
+    from nhse_probabilistic_linkage_ray.stages.ingest import (
+        exact_group_stage,
+        ingest_stage,
+        representatives,
+    )
+    from nhse_probabilistic_linkage_ray.stages.score import score_stage
+    from nhse_probabilistic_linkage_ray.stages.signature import signature_stage
+
+    mapped = exact_group_stage(ingest_stage(files_ds, config), config).materialize()
+    sigs = signature_stage(representatives(mapped), config).materialize()
+
+    u = estimate_u(sigs, config, max_u_pairs)
+    u = tuple(x if x > 0 else 1e-9 for x in u)
+    cfg_u = dataclasses.replace(config, u_probabilities=u)
+
+    # one banding pass; scored once; rules are disjoint match_key strata
+    pairs = candidate_pairs(sigs, config).materialize()
+    scored = score_stage(pairs, sigs, cfg_u,
+                         signature_rows=sigs.count()).materialize()
+
+    n_rules = max(1, min(n_training_rules, config.num_bands))
+    per_rule_m, priors = [], []
+    for i in range(n_rules):
+        def in_rule(batch: pa.Table, rule=i) -> pa.Table:
+            mk = batch["match_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(mk % n_rules == rule))
+
+        hist = gamma_histogram(scored.map_batches(
+            in_rule, batch_format="pyarrow", zero_copy_batch=True))
+        if not any(c for g, c in hist.items() if g >= 0):
+            continue  # rule found no pairs — ref's try/except skip (:114-117)
+        m_i, _u_i, prior_i = estimate_m_em(hist, cfg_u)
+        per_rule_m.append(m_i)
+        priors.append(prior_i)
+
+    m_avg = average_m_values(per_rule_m) if per_rule_m else cfg_u.clamped_mu()[0]
+    prior = float(np.mean(priors)) if priors else config.prior
+    trained = dataclasses.replace(config, m_probabilities=m_avg,
+                                  u_probabilities=u, prior=prior)
+
+    model_path = None
+    if store_dir:
+        from nhse_probabilistic_linkage_ray.sources.model_store import save_model
+
+        model_path = save_model(store_dir, trained, description)
+    return {"config": trained, "per_rule_m": per_rule_m, "u": u,
+            "prior": prior, "model_path": model_path}
+
+
 def train_config(
     signatures_ds: "ray.data.Dataset",
     scored_pairs_ds: "ray.data.Dataset",

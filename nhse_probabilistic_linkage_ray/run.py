@@ -25,10 +25,17 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Ray-Data-native code dedup pipeline")
     ap.add_argument("--input", required=True, help="Parquet files table (repo,path,commit,lang,content)")
     ap.add_argument("--workdir", required=True, help="checkpoint + output directory")
-    ap.add_argument("--mode", choices=("dedupe", "link"), default="dedupe",
-                    help="dedupe the input, or link it (as the external table) "
-                         "against --corpus (ref dual-mode run_pipeline.py:16)")
+    ap.add_argument("--mode", choices=("dedupe", "link", "train"), default="dedupe",
+                    help="dedupe the input, link it (as the external table) "
+                         "against --corpus, or train FS parameters from it "
+                         "(ref dual-mode run_pipeline.py:16 + "
+                         "training_dedupe.py:105-155)")
     ap.add_argument("--corpus", help="corpus Parquet files table (link mode)")
+    ap.add_argument("--training-rules", type=int, default=4,
+                    help="train mode: number of band-subset training rules "
+                         "(ref loops 7 training blocking rules)")
+    ap.add_argument("--max-u-pairs", type=int, default=1_000_000,
+                    help="train mode: cap on random pairs for u estimation")
     ap.add_argument("--config", help="PipelineConfig JSON file (default: defaults)")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: autodetect)")
@@ -64,6 +71,28 @@ def main(argv=None) -> int:
     # size shuffle parallelism to the cluster (the 200-task default is a
     # CPU-independent constant that dominates small clusters)
     ctx.min_parallelism = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    if args.mode == "train":
+        from nhse_probabilistic_linkage_ray.pipelines.training import run_training
+
+        os.makedirs(args.workdir, exist_ok=True)
+        result = run_training(
+            ray.data.read_parquet(args.input), config,
+            n_training_rules=args.training_rules, max_u_pairs=args.max_u_pairs,
+            store_dir=args.save_model or os.path.join(args.workdir, "model_store"),
+            description=args.description or "trained model")
+        trained = result["config"]
+        with open(os.path.join(args.workdir, "trained_config.json"), "w") as f:
+            f.write(trained.to_json())
+        print(json.dumps({"workdir": args.workdir,
+                          "config_hash": trained.config_hash, "mode": "train",
+                          "m_probabilities": list(trained.m_probabilities),
+                          "u_probabilities": list(trained.u_probabilities),
+                          "prior": trained.prior,
+                          "n_rules_used": len(result["per_rule_m"]),
+                          "model_path": result["model_path"]}))
+        ray.shutdown()
+        return 0
 
     if args.mode == "link":
         from nhse_probabilistic_linkage_ray.pipelines.linking import run_link

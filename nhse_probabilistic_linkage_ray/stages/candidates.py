@@ -195,6 +195,30 @@ def candidate_pairs(signatures_ds: "ray.data.Dataset", config: PipelineConfig) -
     return pairs_from_bands(bands, config.max_band_group, config.max_pairs_per_band_group)
 
 
+# Boundary rows (block-straddling keys after a global sort) are ~2 keys per
+# block — thousands of rows, not millions. Below this limit they are reduced
+# driver-side in one numpy pass instead of paying a full groupby shuffle's
+# fixed scheduling floor (two such tiny groupbys were part of the measured
+# ~17 s fixed floor at 8 CPUs, BASELINE.md). Above it (pathological skew:
+# one key spanning many blocks repeatedly) the distributed groupby runs.
+BOUNDARY_DRIVER_LIMIT = 2_000_000
+
+
+def _collect_deferred(deferred: "ray.data.Dataset", limit: int):
+    """Collect the (tiny) deferred rows to the driver as numpy columns;
+    returns None if they exceed ``limit`` (fall back to the groupby path)."""
+    cols: dict = {"left_id": [], "right_id": [], "match_key": [], "capped": []}
+    n = 0
+    for b in deferred.iter_batches(batch_format="pyarrow"):
+        n += len(b)
+        if n > limit:
+            return None
+        for k in cols:
+            cols[k].append(b[k].to_numpy(zero_copy_only=False))
+    return {k: (np.concatenate(v) if v else np.empty(0, np.int64))
+            for k, v in cols.items()}
+
+
 def raw_band_pairs(
     bands: "ray.data.Dataset", max_band_group: int, max_pairs: int
 ) -> "ray.data.Dataset":
@@ -202,7 +226,8 @@ def raw_band_pairs(
     per (band_hash, pair) collision — a pair sharing k band hashes appears k
     times. ``pairs_from_bands`` wraps this with the min-match-key dedup; the
     substring-gram operator counts the multiplicity instead (shared-gram
-    count). Sort + vectorized segment scan + tiny boundary pass."""
+    count). Sort + vectorized segment scan + tiny boundary pass (driver-side
+    numpy under BOUNDARY_DRIVER_LIMIT, distributed groupby above)."""
     scanned = bands.sort("band_hash").map_batches(
         _scan_sorted_block,
         fn_kwargs={"max_band_group": max_band_group,
@@ -221,6 +246,35 @@ def raw_band_pairs(
         lambda t: t.filter(pa.array(t["tag"].to_numpy(zero_copy_only=False) == 1)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+    d = _collect_deferred(deferred, BOUNDARY_DRIVER_LIMIT)
+    if d is not None:
+        # deferred schema: left_id=file_id, right_id=band_hash,
+        # match_key=band_idx. One lexsort groups by band_hash; each complete
+        # segment emits pairs exactly as the interior scan does.
+        bh = d["right_id"]
+        fid = d["left_id"]
+        bidx = d["match_key"]
+        order = np.argsort(bh, kind="stable")
+        bh, fid, bidx = bh[order], fid[order], bidx[order]
+        L, R, C, K = [], [], [], []
+        if len(bh):
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(bh)) + 1))
+            ends = np.concatenate((starts[1:], [len(bh)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                u = np.unique(fid[s:e])
+                if len(u) < 2:
+                    continue
+                l, r, c, k = _emit_segment(u, int(bidx[s]), max_band_group, max_pairs)
+                L.append(l); R.append(r); C.append(c)
+                K.append(np.full(len(l), k, dtype=np.int32))
+        boundary_tbl = pa.table({
+            "left_id": pa.array(np.concatenate(L) if L else np.empty(0, np.int64), pa.int64()),
+            "right_id": pa.array(np.concatenate(R) if R else np.empty(0, np.int64), pa.int64()),
+            "match_key": pa.array(np.concatenate(K) if K else np.empty(0, np.int32), pa.int32()),
+            "capped": pa.array(np.concatenate(C) if C else np.empty(0, np.uint8), pa.uint8()),
+        })
+        return interior.union(ray.data.from_arrow(boundary_tbl))
 
     def emit_deferred(group: dict) -> dict:
         fid = np.asarray(group["left_id"], dtype=np.int64)
@@ -303,6 +357,32 @@ def pairs_from_bands(
                    .select(["left_id", "right_id", "match_key", "capped"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+    d = _collect_deferred(deferred, BOUNDARY_DRIVER_LIMIT)
+    if d is not None:
+        # one driver-side lexsort + reduceat over the handful of
+        # block-straddling pair keys — replaces a full groupby shuffle
+        l, r = d["left_id"], d["right_id"]
+        mk, cp = d["match_key"], d["capped"]
+        order = np.lexsort((r, l))
+        l, r, mk, cp = l[order], r[order], mk[order], cp[order]
+        if len(l):
+            starts = np.concatenate(
+                ([0], np.flatnonzero((l[1:] != l[:-1]) | (r[1:] != r[:-1])) + 1))
+            out = pa.table({
+                "left_id": pa.array(l[starts], pa.int64()),
+                "right_id": pa.array(r[starts], pa.int64()),
+                "match_key": pa.array(np.minimum.reduceat(mk, starts).astype(np.int32),
+                                      pa.int32()),
+                "capped": pa.array(np.maximum.reduceat(cp, starts).astype(np.uint8),
+                                   pa.uint8()),
+            })
+        else:
+            out = pa.table({"left_id": pa.array([], pa.int64()),
+                            "right_id": pa.array([], pa.int64()),
+                            "match_key": pa.array([], pa.int32()),
+                            "capped": pa.array([], pa.uint8())})
+        return interior.union(ray.data.from_arrow(out))
 
     def reduce_boundary(group: dict) -> dict:
         return {

@@ -159,15 +159,25 @@ def connected_components(
 
         from nhse_probabilistic_linkage_ray.state.union_find import UnionFind
 
-        # stream raw edges straight into the union-find (it dedups inherently
-        # — no pre-dedup shuffle needed on this path)
+        from nhse_probabilistic_linkage_ray.functions.hashing import pair_keys_v16
+
+        # vectorized pre-dedup before the Python union loop (VERDICT r2 #9):
+        # raw band edges repeat heavily across bands; np.unique over packed
+        # canonical V16 pairs collapses them in C, so the per-edge Python
+        # loop runs once per DISTINCT edge only. Bounded by
+        # DRIVER_CC_EDGE_LIMIT raw edges, so driver memory is fine.
+        chunks = []
+        for batch in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = u != v
+            if m.any():
+                chunks.append(pair_keys_v16(u[m], v[m]))
         uf = UnionFind()
-        for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            u = batch["u"].to_numpy(zero_copy_only=False)
-            v = batch["v"].to_numpy(zero_copy_only=False)
-            for i in range(len(u)):
-                if u[i] != v[i]:
-                    uf.union(int(u[i]), int(v[i]))
+        if chunks:
+            uniq = np.unique(np.concatenate(chunks))
+            for a, b in uniq.view(np.int64).reshape(-1, 2).tolist():
+                uf.union(a, b)
         comp = uf.components()
         t = _pa.table({
             "file_id": _pa.array(list(comp.keys()), _pa.int64()),

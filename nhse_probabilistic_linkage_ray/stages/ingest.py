@@ -125,12 +125,22 @@ def exact_group_stage(ingested: "ray.data.Dataset", config: PipelineConfig) -> "
     ~70 bytes/row) instead of dragging norm_content through the sort; the
     resulting (group_key -> rep_id) map is broadcast back when small, else
     attached with a hash join. At any scale the fat columns move zero times."""
+    from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Min as _Min
 
     ingested = ingested.materialize()
+    # per-tier TF (config.tf_tier_weights): non-exact tiers need each side's
+    # exact-group frequency. Count rides the SAME groupby shuffle; the
+    # attached tf_value = n_group / corpus_size is the analog of the
+    # reference's per-comparison tf column (parameter_lists.py:11-14).
+    want_tf = config.tf_nonexact_enabled
+    aggs = [_Min("file_id", alias_name="rep_id")]
+    if want_tf:
+        aggs.append(_Count(alias_name="n_group"))
     rep_map = ingested.select_columns(["group_key", "file_id"]) \
-        .groupby("group_key").aggregate(_Min("file_id", alias_name="rep_id")) \
+        .groupby("group_key").aggregate(*aggs) \
         .materialize()
+    total = ingested.count() if want_tf else 0
 
     if rep_map.count() <= REP_MAP_BROADCAST_LIMIT:
         import ray as _ray
@@ -141,30 +151,46 @@ def exact_group_stage(ingested: "ray.data.Dataset", config: PipelineConfig) -> "
         # Python dict, no per-row probe (VERDICT r2 fix #4). Broadcast is the
         # sorted (keys, rep_ids) pair; probe is one vectorized searchsorted
         # with a membership assert (ADVICE: never silently mis-map).
-        keys_parts, ids_parts = [], []
+        keys_parts, ids_parts, cnt_parts = [], [], []
         for b in rep_map.iter_batches(batch_format="pyarrow"):
             keys_parts.append(fixed_prefix_keys(b["group_key"], GK_KEY_BYTES))
             ids_parts.append(b["rep_id"].to_numpy(zero_copy_only=False))
+            if want_tf:
+                cnt_parts.append(b["n_group"].to_numpy(zero_copy_only=False))
         keys = np.concatenate(keys_parts)
         ids = np.concatenate(ids_parts).astype(np.int64)
         order = np.argsort(keys)
-        ref = _ray.put((keys[order], ids[order]))
+        tf = (np.concatenate(cnt_parts).astype(np.float64)[order] / max(total, 1)
+              if want_tf else None)
+        ref = _ray.put((keys[order], ids[order], tf))
 
         def attach(batch: pa.Table) -> pa.Table:
-            skeys, sids = _ray.get(ref)
+            skeys, sids, stf = _ray.get(ref)
             k = fixed_prefix_keys(batch["group_key"].combine_chunks(), GK_KEY_BYTES)
             i = np.minimum(np.searchsorted(skeys, k), len(skeys) - 1)
             if not np.array_equal(skeys[i], k):
                 raise KeyError("group_key missing from broadcast rep map")
-            return batch.append_column("rep_id", pa.array(sids[i], pa.int64()))
+            out = batch.append_column("rep_id", pa.array(sids[i], pa.int64()))
+            if stf is not None:
+                out = out.append_column("tf_value", pa.array(stf[i], pa.float64()))
+            return out
 
         return ingested.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
     from nhse_probabilistic_linkage_ray.stages.cluster import join_partitions
 
-    return ingested.join(rep_map, join_type="inner",
-                         num_partitions=join_partitions(config, rows=rep_map.count()),
-                         on=("group_key",))
+    joined = ingested.join(rep_map, join_type="inner",
+                           num_partitions=join_partitions(config, rows=rep_map.count()),
+                           on=("group_key",))
+    if not want_tf:
+        return joined
+
+    def count_to_tf(batch: pa.Table) -> pa.Table:
+        n = batch["n_group"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.drop_columns(["n_group"]).append_column(
+            "tf_value", pa.array(n / max(total, 1), pa.float64()))
+
+    return joined.map_batches(count_to_tf, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def exact_edges(exact_mapped: "ray.data.Dataset") -> "ray.data.Dataset":

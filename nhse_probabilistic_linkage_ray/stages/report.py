@@ -61,18 +61,24 @@ def confusion_one_pass(
     th = np.asarray(sorted(thresholds), dtype=np.float64)
     import ray
 
-    truth_ref = ray.put(truth_pairs)
+    from nhse_probabilistic_linkage_ray.functions.hashing import (
+        pair_member_mask,
+        sorted_pair_keys,
+    )
+
+    # broadcast the truth set as a sorted canonical V16 key array: membership
+    # per batch is one searchsorted + memcmp, not a per-row Python set probe
+    truth_ref = ray.put(sorted_pair_keys(truth_pairs)
+                        if truth_pairs else np.empty(0, "V16"))
 
     def partial(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        truth = _ray.get(truth_ref)
-        l = batch["left_id"].to_numpy(zero_copy_only=False)
-        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        truth_keys = _ray.get(truth_ref)
+        l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         p = batch[score_col].to_numpy(zero_copy_only=False)
-        is_true = np.fromiter(
-            ((int(l[i]), int(r[i])) in truth or (int(r[i]), int(l[i])) in truth
-             for i in range(len(l))), dtype=bool, count=len(l))
+        is_true = pair_member_mask(truth_keys, l, r)
         above = p[None, :] >= th[:, None]          # (T, n)
         tp = (above & is_true[None, :]).sum(axis=1)
         fp = (above & ~is_true[None, :]).sum(axis=1)

@@ -101,6 +101,13 @@ class FeatureIndex:
 
     def __init__(self, blocks: list, num_perms: int):
         self.views = [_block_views(b, num_perms) for b in blocks if len(b)]
+        # optional per-rep TF column (per-tier TF adjustments): kept as a
+        # parallel list of per-block float64 views, gathered via gather_tf
+        self.tf_views = [
+            b["tf_value"].to_numpy(zero_copy_only=False)
+            if "tf_value" in b.column_names else None
+            for b in blocks if len(b)
+        ]
         if not self.views:
             self.sorted_fid = np.empty(0, np.int64)
             self.sorted_loc = np.empty((0, 2), np.int64)
@@ -164,6 +171,20 @@ class FeatureIndex:
             _ragged_copy(shv, np.asarray(sho, np.int64), rows, sh_flat, sh_offs, m, sh_lens)
             _ragged_copy(thv, np.asarray(tho, np.int64), rows, th_flat, th_offs, m, th_lens)
         return sig, sim, (sh_flat, sh_offs), (th_flat, th_offs)
+
+    def gather_tf(self, ids: np.ndarray) -> "np.ndarray | None":
+        """Per-id tf_value (exact-group frequency) when the signature blocks
+        carry it; None when the TF plumbing is off."""
+        if not self.views or any(v is None for v in self.tf_views):
+            return None
+        i = np.searchsorted(self.sorted_fid, ids)
+        locs = self.sorted_loc[i]
+        b_arr, r_arr = locs[:, 0], locs[:, 1]
+        out = np.empty(len(ids), np.float64)
+        for b in np.unique(b_arr):
+            m = b_arr == b
+            out[m] = self.tf_views[b][r_arr[m]]
+        return out
 
 
 def _ragged_copy(src_vals, src_offs, rows, dst_flat, dst_offs, dst_rows, all_lens):
@@ -280,14 +301,21 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureInde
     P = cfg.num_perms
     sigL, simL, shL, thL = features.gather(left, P)
     sigR, simR, shR, thR = features.gather(right, P)
+    tf_pair = None
+    if cfg.tf_nonexact_enabled:
+        tfL, tfR = features.gather_tf(left), features.gather_tf(right)
+        if tfL is not None and tfR is not None:
+            tf_pair = np.maximum(tfL, tfR)
     return _score_from_flat(cfg, batch, left, right,
-                            sigL, simL, shL, thL, sigR, simR, shR, thR)
+                            sigL, simL, shL, thL, sigR, simR, shR, thR,
+                            tf_pair=tf_pair)
 
 
 def _score_from_flat(
     cfg: PipelineConfig, batch: pa.Table,
     left: np.ndarray, right: np.ndarray,
     sigL, simL, shL, thL, sigR, simR, shR, thR,
+    tf_pair: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Vectorized scoring core over flat ragged feature layouts: ``shL`` /
     ``thL`` (and R) are (flat_values, offsets) pairs; row i's set is
@@ -336,6 +364,23 @@ def _score_from_flat(
             gamma = gamma.copy()
             gamma[lift] = GAMMA_RESCUED
             gamma, w, prob, tier = _rescore_from_gamma(cfg, gamma)
+
+    # per-tier term-frequency adjustment (vectorized form of
+    # cfg.tf_adjusted_match_weight over the FINAL gamma — after plugin lifts):
+    # w += weight[gamma] * log2(u[gamma] / max(tf, tf_min)) where tf is the
+    # pair's shared-value frequency (max of sides for fuzzy tiers)
+    if tf_pair is not None:
+        tw = np.array([cfg.tf_weight_for(g) for g in range(5)], dtype=np.float64)
+        if tw.any():
+            _, u = cfg.clamped_mu()
+            u_arr = np.asarray(u, dtype=np.float64)
+            sel2 = (tw[gamma] != 0.0) & (tf_pair > 0)
+            if sel2.any():
+                g2 = gamma[sel2]
+                tfv = np.maximum(tf_pair[sel2], cfg.tf_minimum_u_value)
+                w = w.copy()
+                w[sel2] += tw[g2] * np.log2(u_arr[g2] / tfv)
+                prob = (2.0 ** w) / (1.0 + 2.0 ** w)
 
     out = pa.table({
         "left_id": pa.array(left, pa.int64()),
@@ -457,6 +502,8 @@ def score_stage(
         sim_i64 = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.int64)
         cols = {"file_id": batch["file_id"].combine_chunks(),
                 "simhash": pa.array(sim_i64, pa.int64())}
+        if "tf_value" in batch.column_names:
+            cols["tf_value"] = batch["tf_value"].combine_chunks()
         mh = batch["minhash"].combine_chunks()
         mh_vals = np.ascontiguousarray(np.asarray(mh.flatten()), dtype=np.uint64)
         P = len(mh_vals) // n if n else 0
@@ -468,9 +515,13 @@ def score_stage(
             cols[name + "_bin"] = _binary_from_flat(vals, offs)
         return pa.table(cols)
 
-    feat = signatures_ds.select_columns(
-        ["file_id", "minhash", "simhash", "shingles", "token_hashes"]
-    ).map_batches(pack_lists, batch_format="pyarrow", zero_copy_batch=True)
+    feat_cols = ["file_id", "minhash", "simhash", "shingles", "token_hashes"]
+    sig_schema = signatures_ds.schema()
+    if config.tf_nonexact_enabled and sig_schema is not None \
+            and "tf_value" in sig_schema.names:
+        feat_cols.append("tf_value")
+    feat = signatures_ds.select_columns(feat_cols) \
+        .map_batches(pack_lists, batch_format="pyarrow", zero_copy_batch=True)
 
     k = join_partitions(config, rows=rows)
     joined = pairs_ds.join(
@@ -514,8 +565,14 @@ def score_stage(
         sigR, simR, shR, thR = side_feats("_r")
         left = batch["left_id"].to_numpy(zero_copy_only=False)
         right = batch["right_id"].to_numpy(zero_copy_only=False)
+        tf_pair = None
+        if cfg.tf_nonexact_enabled and ("tf_value_L" in cols or "tf_value" in cols):
+            tfL = pick("tf_value", "_L").to_numpy(zero_copy_only=False)
+            tfR = pick("tf_value", "_r").to_numpy(zero_copy_only=False)
+            tf_pair = np.maximum(tfL, tfR)
         slim = pa.table({k2: batch[k2] for k2 in ("left_id", "right_id", "match_key", "capped")})
         return _score_from_flat(cfg, slim, left, right,
-                                sigL, simL, shL, thL, sigR, simR, shR, thR)
+                                sigL, simL, shL, thL, sigR, simR, shR, thR,
+                                tf_pair=tf_pair)
 
     return joined.map_batches(score_joined, batch_format="pyarrow", batch_size=4096)

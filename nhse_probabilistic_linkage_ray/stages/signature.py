@@ -59,7 +59,7 @@ class SignatureActor:
         tokens_col = pa.LargeListArray.from_arrays(
             pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
         )
-        return pa.table({
+        cols = {
             "file_id": batch["file_id"].combine_chunks(),
             "content_sha256": batch["content_sha256"].combine_chunks(),
             "minhash": minhash_col,
@@ -68,7 +68,13 @@ class SignatureActor:
             "n_shingles": pa.array(np.diff(soffs), pa.int64()),
             "shingles": shingles_col,
             "token_hashes": tokens_col,
-        })
+        }
+        # per-tier TF plumbing (config.tf_tier_weights): the rep's exact-group
+        # frequency rides along to the scorer when the exact-group stage
+        # attached it
+        if "tf_value" in batch.column_names:
+            cols["tf_value"] = batch["tf_value"].combine_chunks()
+        return pa.table(cols)
 
 
 # Worker-process-global per-worker state for the task-based path: Ray task
