@@ -137,6 +137,13 @@ def incremental_dedupe(
     old-signatures ∪ new-signatures. The new batch must broadcast (its id
     set gates the pair filter); the corpus side streams."""
     config = config or PipelineConfig()
+    if config.tf_nonexact_enabled:
+        # old checkpointed signatures lack tf_value and group frequencies
+        # would be stale against the grown corpus — an honest seam, not a
+        # silent wrong answer
+        raise ValueError("per-tier TF adjustments (tf_tier_weights on a "
+                         "non-exact tier) require a full dedupe run; "
+                         "incremental mode cannot update group frequencies")
     old_sigs = manifests.load(os.path.join(workdir, "signature"))
     old_mapped = manifests.load(os.path.join(workdir, "exact"))
     old_clusters = manifests.load(os.path.join(workdir, "clusters"))
