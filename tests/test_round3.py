@@ -53,6 +53,43 @@ class TestKeyKernels:
                                     np.array([1]), np.array([2])).any()
 
 
+class TestNormalizeColumnKernels:
+    """Arrow RE2 column kernels must match the scalar Python kernels
+    bit-for-bit, including the non-ASCII fallback path."""
+
+    CASES = [
+        "a\r\nb\r c", "x  \t\ny", "a\n\n\n\n\nb", "end  \t", "",
+        "line \n\n\n z ", "tab\t here\n", "héllo wörld\r\n  x",
+        "İstanbul\n\n\n\nCafé  \t\nnaïve", "日本語 テスト\r\nend ",
+        "mixed ascii ünd ünïcode  \n\n\n\n tail\t", None,
+    ]
+
+    @pytest.mark.parametrize("lowercase", [False, True])
+    def test_normalize_column_matches_scalar(self, lowercase):
+        from nhse_probabilistic_linkage_ray.functions.normalize import (
+            normalize_content,
+            normalize_content_column,
+        )
+
+        col = pa.array(self.CASES, pa.large_string())
+        got, mask = normalize_content_column(col, lowercase=lowercase)
+        want = [normalize_content(c, lowercase=lowercase) for c in self.CASES]
+        assert got.to_pylist() == want
+        # mask marks exactly the non-ASCII rows (None counts as ASCII)
+        assert mask.tolist() == [c is None or c.isascii() for c in self.CASES]
+
+    def test_token_count_column_matches_scalar(self):
+        from nhse_probabilistic_linkage_ray.functions.normalize import (
+            token_count_column,
+            tokenize,
+        )
+
+        vals = [c for c in self.CASES if c is not None]
+        col = pa.array(vals, pa.string())
+        got = token_count_column(col)
+        assert got.tolist() == [len(tokenize(v)) for v in vals]
+
+
 class TestBoundaryDriverPass:
     """The pair engine's block-straddling keys reduce driver-side under
     BOUNDARY_DRIVER_LIMIT; above it the distributed groupby path runs. Both
