@@ -58,10 +58,13 @@ def host_health() -> dict:
     """Two-number snapshot of what this shared host grants RIGHT NOW, embedded
     in every bench JSON so cross-round comparisons can be normalized:
     - cpu_iters_per_sec: single-process numpy uint64 multiply-add (the MinHash
-      inner loop) — compute availability;
-    - first_touch_mb_per_sec: allocate-and-touch a fresh 256 MB mapping — page
-      provisioning speed, which on this memory-overcommitted VM swings 100-300x
-      and dominates allocation-heavy stages when it degrades."""
+      inner loop), ALL IN-PLACE — pure compute availability. (The round-2/3
+      version allocated an 8 MB temp per iteration, so in a provisioning
+      collapse it read ~1 it/s even when the CPU itself was fully granted —
+      the two signals were conflated; in-place ops separate them.)
+    - first_touch_mb_per_sec: touch fresh pages for a BOUNDED time window —
+      page provisioning speed, which on this memory-overcommitted VM swings
+      1000x on second timescales and dominates allocation-heavy stages."""
     import time as _t
 
     import numpy as _np
@@ -71,19 +74,59 @@ def host_health() -> dict:
     t0 = _t.perf_counter()
     iters = 0
     while _t.perf_counter() - t0 < 1.0:
-        x = x * a + _np.uint64(iters)
-        x ^= x >> _np.uint64(31)
+        _np.multiply(x, a, out=x)
+        _np.bitwise_xor(x, x >> _np.uint64(31), out=x)
         iters += 1
     cpu = iters / (_t.perf_counter() - t0)
-
-    mb = 256
-    t0 = _t.perf_counter()
-    buf = _np.empty(mb << 20, dtype=_np.uint8)
-    buf[::4096] = 1  # touch every page
-    ft = mb / (_t.perf_counter() - t0)
-    del buf
     return {"cpu_iters_per_sec": round(cpu, 1),
-            "first_touch_mb_per_sec": round(ft, 1)}
+            "first_touch_mb_per_sec": first_touch_probe()}
+
+
+def first_touch_probe(max_mb: int = 256, max_sec: float = 2.0) -> float:
+    """MB/s of faulting FRESH pages, bounded by time so a collapsed window
+    (~5 MB/s) costs ~2 s instead of 50 s. Touches page-by-page and reports
+    pages actually touched / elapsed."""
+    import time as _t
+
+    import numpy as _np
+
+    step = 1 << 20  # 1 MB chunks: bound the overshoot past the deadline
+    buf = _np.empty(max_mb << 20, dtype=_np.uint8)
+    t0 = _t.perf_counter()
+    done = 0
+    for off in range(0, max_mb << 20, step):
+        buf[off:off + step:4096] = 1
+        done += step
+        if _t.perf_counter() - t0 >= max_sec:
+            break
+    ft = (done / (1 << 20)) / (_t.perf_counter() - t0)
+    del buf
+    return round(ft, 1)
+
+
+def read_steal(ncpu: int | None = None) -> tuple[int, float]:
+    """(steal ticks summed over cpu0..cpu{ncpu-1}, timestamp). Guest-kernel
+    accounting of cycles the hypervisor withheld while a vCPU was runnable —
+    the precise, continuous form of what the 3 s probe brackets guessed at.
+    NOTE: does NOT capture page-provisioning stalls (those are charged to
+    user/system time while the vCPU blocks in the host fault path), so it is
+    the CPU-steal signal only; first_touch_probe is the provisioning signal."""
+    import time as _t
+
+    total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if not line.startswith("cpu"):
+                break
+            parts = line.split()
+            if parts[0] == "cpu":
+                if ncpu is None:
+                    return int(parts[8]), _t.time()
+                continue
+            idx = int(parts[0][3:])
+            if idx < ncpu:
+                total += int(parts[8])
+    return total, _t.time()
 
 
 # Calm-window thresholds (BASELINE.md): cpu_iters_per_sec is the decisive
@@ -127,6 +170,31 @@ def _driver_mallopt() -> None:
         pass
 
 
+def _prefault_object_store(ray, store_bytes: int) -> None:
+    """Fault the plasma store's tmpfs pages ONCE, before anything is timed.
+
+    The store is a /dev/shm mapping whose pages are provisioned by the host
+    on first write; on this memory-overcommitted VM that path collapses to
+    ~5 MB/s for minutes at a time (BASELINE.md "weather"). tmpfs pages stay
+    resident once touched (no swap here), so ray.put-ing throwaway chunks up
+    to ~80% of capacity moves the entire provisioning cost out of the timed
+    window — afterwards object creation reuses already-backed pages whatever
+    the weather. Also explains round-3's inverse scaling artifacts: an 8-CPU
+    run faults more pages concurrently than a 2-CPU run, so provisioning
+    collapse punishes the WIDE run harder — pre-faulting removes that bias."""
+    import numpy as np
+
+    chunk = 64 << 20
+    target = int(store_bytes * 0.80)
+    refs = []
+    try:
+        for _ in range(target // chunk):
+            refs.append(ray.put(np.zeros(chunk, dtype=np.uint8)))
+    except Exception:
+        pass  # store smaller than expected: whatever faulted is still warm
+    del refs
+
+
 def run_bench() -> dict:
     import ray
 
@@ -142,9 +210,17 @@ def run_bench() -> dict:
     # number is comparable across rounds; if none arrives, run anyway and
     # stamp degraded=true so the reader knows the number is a steal artifact.
     health_pre = wait_for_calm(float(os.environ.get("GRAFT_CALM_WAIT_SEC", "900")))
+    # Cap the object store: the default (30% of 128 GB) maps ~39 GB of tmpfs
+    # whose pages fault against the host's provisioning weather mid-run. The
+    # headline workload peaks far below 8 GB of live objects; a small store
+    # can be pre-faulted below so the timed window touches NO fresh pages.
+    obj_gb = float(os.environ.get("GRAFT_OBJ_STORE_GB", "8"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(obj_gb * (1 << 30)))
     import ray.data
+
+    _prefault_object_store(ray, int(obj_gb * (1 << 30)))
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -170,21 +246,39 @@ def run_bench() -> dict:
     # warm the Ray worker pool + import path untimed (first execution in a
     # fresh session spawns ~num_cpus worker processes; that cold-start cost
     # is per-cluster, not per-byte — the bench measures steady-state).
-    warm = ray.data.read_parquet(path).limit(4096)
-    dedupe_dataset(warm, PipelineConfig())["clusters"].count()
+    # GRAFT_BENCH_WARM_FULL=1 (scaling children) warms with the FULL corpus:
+    # the first full run faults every worker's peak heap (glibc keeps freed
+    # blocks resident via the raised trim threshold), so the timed runs touch
+    # no fresh pages and are immune to provisioning weather.
+    if os.environ.get("GRAFT_BENCH_WARM_FULL"):
+        dedupe_dataset(files_ds, PipelineConfig())["clusters"].count()
+    else:
+        warm = ray.data.read_parquet(path).limit(4096)
+        dedupe_dataset(warm, PipelineConfig())["clusters"].count()
 
     # best of N timed runs (default 2): identical back-to-back executions
     # vary up to 2x on this shared host (documented in BASELINE.md); the
     # minimum is the least-stolen measurement of the same fixed workload.
     # Scaling children set GRAFT_BENCH_TIMED_RUNS=1 — their long pinned runs
     # self-average and doubling them doubles an already-long protocol.
+    # Per-run CPU-steal fraction (guest-kernel accounting over the CPUs this
+    # process is pinned to — NUM_CPUS when launched under taskset) is stamped
+    # so a reader can reject stolen runs without guessing from probes.
     headline = float("inf")
     n_clusters = 0
+    steal_frac = None
+    pin_n = NUM_CPUS if os.environ.get("GRAFT_PINNED") else None
     for _ in range(int(os.environ.get("GRAFT_BENCH_TIMED_RUNS", "2"))):
+        s0, st0 = read_steal(pin_n)
         t0 = time.time()
         out = dedupe_dataset(files_ds, PipelineConfig())
         n_clusters = out["clusters"].count()
-        headline = min(headline, time.time() - t0)
+        dt = time.time() - t0
+        s1, st1 = read_steal(pin_n)
+        if dt < headline:
+            headline = dt
+            denom = (st1 - st0) * 100.0 * (pin_n or 32)
+            steal_frac = round((s1 - s0) / denom, 4) if denom else None
 
     qtimes = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
@@ -203,6 +297,7 @@ def run_bench() -> dict:
         "host_health_pre": health_pre,
         "degraded": not (is_calm(health_pre) or is_calm(health_post)),
         "value": round(headline, 3),
+        "steal_frac": steal_frac,
         "unit": "sec",
         "queries": qtimes,
         "sf": SF_DIR,
@@ -223,9 +318,10 @@ def _probe_worker(stop_ns: float, q) -> None:
     x = _np.arange(1_000_000, dtype=_np.uint64)
     a = _np.uint64(0x9E3779B97F4A7C15)
     iters = 0
+    # in-place: measure granted CPU, not page provisioning (see host_health)
     while _t.perf_counter_ns() < stop_ns:
-        x = x * a + _np.uint64(iters)
-        x ^= x >> _np.uint64(31)
+        _np.multiply(x, a, out=x)
+        _np.bitwise_xor(x, x >> _np.uint64(31), out=x)
         iters += 1
     q.put(iters)
 
@@ -284,15 +380,42 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         # children never self-wait: the calm gate runs HERE, once per pair,
-        # so both levels of a pair execute back-to-back in the same window
+        # so both levels of a pair execute back-to-back in the same window.
+        # GRAFT_BENCH_WARM_FULL: the child warms with a full-size untimed run
+        # (resident heaps + pre-faulted plasma) so its timed window touches no
+        # fresh pages; GRAFT_PINNED tells it to read steal over cpu0..N-1.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_NBASE=nbase,
                    GRAFT_SKIP_QUERIES="1", GRAFT_BENCH_TIMED_RUNS="1",
-                   GRAFT_CALM_WAIT_SEC="0")
+                   GRAFT_CALM_WAIT_SEC="0", GRAFT_BENCH_WARM_FULL="1",
+                   GRAFT_PINNED="1")
         cmd = pin([sys.executable, os.path.abspath(__file__)], ncpu)
-        out = subprocess.run(cmd, env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # concurrent weather trace on CPUs OUTSIDE any pinned bench set: the
+        # round-2/3 failure mode was a pre-pair probe passing and the window
+        # collapsing mid-run, invisibly. The trace records provisioning speed
+        # DURING the run; the child reports its own timed-window steal_frac.
+        trace_path = f"/tmp/graft_weather_{os.getpid()}_{ncpu}.jsonl"
+        sampler_cmd = [sys.executable, os.path.abspath(__file__),
+                       "--weather-sampler", trace_path]
+        if _sh.which("taskset"):
+            sampler_cmd = ["taskset", "-c", "28-31"] + sampler_cmd
+        sampler = subprocess.Popen(sampler_cmd, stdout=subprocess.DEVNULL,
+                                   stderr=subprocess.DEVNULL)
+        try:
+            out = subprocess.run(cmd, env=env,
+                                 capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        finally:
+            sampler.terminate()
+            sampler.wait()
+        res = json.loads(out.strip().splitlines()[-1])
+        try:
+            fts = sorted(json.loads(ln)["ft"] for ln in open(trace_path))
+            res["ft_in_run"] = {"min": fts[0], "med": fts[len(fts) // 2],
+                                "n": len(fts)}
+            os.unlink(trace_path)
+        except Exception:
+            res["ft_in_run"] = None
+        return res
 
     def probe(ncpu: int) -> float:
         cmd = pin([sys.executable, os.path.abspath(__file__), "--probe", str(ncpu)], ncpu)
@@ -323,9 +446,20 @@ def run_scaling() -> dict:
         r_hi = run(hi)
         hw_speedup = p_hi / p_lo if p_lo else float("nan")
         speedup = r_lo["value"] / r_hi["value"]
+        # calm_in_run: the decisive per-pair validity flag — BOTH timed
+        # windows ran with <3% kernel-accounted CPU steal on their pinned
+        # CPUs. (Provisioning weather is neutralized by the pre-faulted
+        # store + full warm-up; ft_in_run is recorded as an annotation.)
+        steals = [r_lo.get("steal_frac"), r_hi.get("steal_frac")]
+        calm_in_run = all(s is not None and s < 0.03 for s in steals)
         pairs.append({
             "host_health_pre": pre_pair_health,
             "calm": is_calm(pre_pair_health),
+            "calm_in_run": calm_in_run,
+            f"steal_frac_{lo}": r_lo.get("steal_frac"),
+            f"steal_frac_{hi}": r_hi.get("steal_frac"),
+            f"ft_in_run_{lo}": r_lo.get("ft_in_run"),
+            f"ft_in_run_{hi}": r_hi.get("ft_in_run"),
             f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
             f"files_per_sec_{lo}": r_lo["files_per_sec"],
             f"files_per_sec_{hi}": r_hi["files_per_sec"],
@@ -334,11 +468,14 @@ def run_scaling() -> dict:
             "hw_probe_speedup": round(hw_speedup, 3),
             "efficiency_vs_hw": round(speedup / hw_speedup, 3) if hw_speedup else None,
         })
+        print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
     effs = sorted(p["efficiency"] for p in pairs)
     effs_hw = sorted(p["efficiency_vs_hw"] for p in pairs)
+    effs_calm = sorted(p["efficiency"] for p in pairs if p["calm_in_run"])
 
     def med(v):
-        return v[len(v) // 2] if repeats % 2 else (v[repeats // 2 - 1] + v[repeats // 2]) / 2
+        n = len(v)
+        return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
 
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input, {repeats} repeats)",
@@ -347,13 +484,27 @@ def run_scaling() -> dict:
         "min_efficiency": effs[0],
         "max_efficiency": effs[-1],
         "median_efficiency_vs_hw": round(med(effs_hw), 3),
+        "calm_in_run_pairs": len(effs_calm),
+        "median_efficiency_calm": round(med(effs_calm), 3) if effs_calm else None,
     }
+
+
+def run_weather_sampler(outfile: str, interval: float = 4.0) -> None:
+    """Append {ts, ft} JSON lines until killed: the in-run provisioning trace
+    for scaling pairs (started on CPUs outside any pinned bench set)."""
+    while True:
+        ft = first_touch_probe(max_mb=64, max_sec=1.0)
+        with open(outfile, "a") as f:
+            f.write(json.dumps({"ts": round(time.time(), 1), "ft": ft}) + "\n")
+        time.sleep(interval)
 
 
 if __name__ == "__main__":
     if "--probe" in sys.argv:
         n = int(sys.argv[sys.argv.index("--probe") + 1])
         print(json.dumps(run_probe(n)))
+    elif "--weather-sampler" in sys.argv:
+        run_weather_sampler(sys.argv[sys.argv.index("--weather-sampler") + 1])
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
