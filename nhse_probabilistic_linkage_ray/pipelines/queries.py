@@ -11,6 +11,7 @@ value hash).
 from __future__ import annotations
 
 from nhse_probabilistic_linkage_ray.pipelines import queries_dedup as qd
+from nhse_probabilistic_linkage_ray.pipelines import queries_quality as qq
 from nhse_probabilistic_linkage_ray.pipelines import queries_relational as qr
 
 # name -> (callable(sf_dir) -> Dataset/DataFrame, sql | None)
@@ -123,6 +124,61 @@ REGISTRY: dict = {
     # is the scale variant of the same operator; pinned by pytest kernel
     # tests rather than a registry row, since the md5-winnowing variant above
     # already oracle-verifies the operator family)
+    "contamination_ngram_overlap": (qq.q_contamination_ngram_overlap, """
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+7], ' ')
+                                FOR i IN generate_series(1, len(ws) - 7)]) AS grams
+          FROM tok
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+        ),
+        e AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0
+        ),
+        hits AS (
+          SELECT e.doc_id, count(b.gram)::BIGINT AS n_hit
+          FROM e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id
+        )
+        SELECT g.doc_id,
+               len(grams)::BIGINT AS n_grams,
+               coalesce(n_hit, 0)::BIGINT AS n_hit,
+               round(CASE WHEN len(grams) = 0 THEN 0
+                          ELSE coalesce(n_hit, 0)::DOUBLE / len(grams) END, 6)
+                 AS overlap_frac
+        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        WHERE g.doc_id % 50 <> 0
+    """),
+    "repetition_stats": (qq.q_repetition_stats, """
+        WITH ln AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                                 FOR i IN generate_series(1, len(ws) - 1)]) AS gram
+          FROM tok
+        ),
+        cnt AS (
+          SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+        ),
+        top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id)
+        SELECT ln.doc_id,
+               round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+                 AS dup_line_frac,
+               round(CASE WHEN len(ws) < 2 THEN 0
+                          ELSE coalesce(topc, 0)::DOUBLE / (len(ws) - 1) END, 6)
+                 AS top_bigram_frac
+        FROM ln JOIN tok USING (doc_id) LEFT JOIN top USING (doc_id)
+    """),
     "word_jaccard_pairs": (qd.q_word_jaccard_pairs, """
         WITH w AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words

@@ -1,0 +1,204 @@
+"""Training-data quality screens over the documents table.
+
+Two first-class LLM-pipeline operators beyond the reference's own surface
+(SURVEY.md §2-beyond; same family as the textstats queries):
+
+- ``q_contamination_ngram_overlap`` — benchmark-contamination screening: the
+  fraction of each training document's distinct word n-grams that appear in a
+  held-out benchmark set (the standard n-gram decontamination check run
+  before LLM training). The "benchmark" is a deterministic slice of the
+  corpus itself (doc_id % bench_mod == 0) so the operator needs no external
+  data; in production the benchmark grams come from the eval suites and are
+  orders of magnitude smaller than the corpus — the broadcast contract below.
+
+- ``q_repetition_stats`` — Gopher-style repetition quality signals (Rae et
+  al. 2021, "Scaling Language Models", Table A1): per-document duplicate-line
+  fraction and top-bigram fraction, the two cheapest of the repetition
+  filters used to drop boilerplate/spam before training.
+
+Both stream the corpus through stateless vectorized ``map_batches`` (Arrow
+RE2 kernels + numpy segment scans — no per-row Python in the hot path) and
+have exact DuckDB oracles (pipelines/queries.py). Word tokenization is
+RE2 ``\\w+`` over ``lower(text)`` on BOTH sides (Arrow and DuckDB both use
+RE2, so ``\\w`` is ASCII on both — the ADVICE-r2 parity caveat does not
+apply here). Gram/line identity is compared through 64-bit hashes of the
+vectorized kernels; as with ``substring_gram_pairs``, a false hit needs a
+blake2b-64 collision (~2^-64 per gram pair) — negligible at any real scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from nhse_probabilistic_linkage_ray.functions.hashing import hash_strings_u64, mix64
+from nhse_probabilistic_linkage_ray.functions.shingle import shingle_hashes
+from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import _docs
+
+_U64 = np.uint64
+# positional multipliers for the bigram combine (distinct from shingle's
+# _POS_MULT so a k=2 shingle and a bigram never collide by construction)
+_BG_M0 = _U64(0xA0761D6478BD642F)
+_BG_M1 = _U64(0xE7037ED1A0B428DB)
+
+
+def word_hashes_column(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """``\\w+`` word-hash sequences per row, fully vectorized.
+
+    Arrow RE2 split on ``\\W+`` over ``lower(text)`` (== DuckDB
+    ``regexp_extract_all(lower(text), '\\w+')`` after dropping the empty
+    fragments the split form produces at punctuation boundaries), then one
+    dictionary-encode so only the unique vocabulary is hashed in Python.
+    Returns (flat: uint64[N], offsets: int64[rows+1]) in document order with
+    duplicates preserved — the same layout as ``token_hashes_batch``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    lists = pc.split_pattern_regex(lowered, pattern=r"\W+")
+    raw_offs = np.asarray(lists.offsets, dtype=np.int64)
+    raw_offs = raw_offs - raw_offs[0]  # sliced batches: offsets don't start at 0
+    flat_vals = lists.flatten()
+    if len(flat_vals) == 0:
+        return np.empty(0, dtype=_U64), np.zeros(len(lists) + 1, dtype=np.int64)
+    nonempty = pc.greater(pc.utf8_length(flat_vals), 0)
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    # every row yields >= 1 raw fragment (splitting "" gives [""]), so the
+    # reduceat start indices are strictly increasing and safe
+    kept_counts = np.add.reduceat(mask.astype(np.int64), raw_offs[:-1])
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept = flat_vals.filter(nonempty)
+    if len(kept) == 0:
+        return np.empty(0, dtype=_U64), offsets
+    enc = kept.dictionary_encode()
+    vocab = hash_strings_u64(enc.dictionary.to_pylist())
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vocab[inv], offsets
+
+
+def q_contamination_ngram_overlap(sf_dir: str, gram_len: int = 8, bench_mod: int = 50):
+    """Per non-benchmark document: distinct word ``gram_len``-grams, how many
+    occur in the benchmark slice (doc_id % bench_mod == 0), and the overlap
+    fraction — the n-gram decontamination screen.
+
+    Plan: one streaming pass extracts the benchmark slice's distinct gram
+    hashes (the benchmark side is small BY CONTRACT — eval suites vs a
+    training corpus — so it broadcasts via ray.put, the repo's standard
+    small-side pattern); a second streaming pass computes each corpus
+    document's distinct grams (``shingle_hashes`` = sorted-unique per row)
+    and counts membership with one vectorized searchsorted per batch. The
+    corpus is never materialized."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % bench_mod == 0))
+        flat, offs = word_hashes_column(sub["text"])
+        sh, _ = shingle_hashes(flat, offs, gram_len)
+        return pa.table({"g": pa.array(np.unique(sh).view(np.int64), pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    parts = [b["g"].to_numpy(zero_copy_only=False).view(_U64)
+             for b in docs.map_batches(bench_grams, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                          .iter_batches(batch_format="pyarrow")]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=_U64))
+    bench_ref = ray.put(bench)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % bench_mod != 0))
+        flat, offs = word_hashes_column(sub["text"])
+        sh, so = shingle_hashes(flat, offs, gram_len)
+        counts = np.diff(so)
+        if len(bench) and len(sh):
+            idx = np.minimum(np.searchsorted(bench, sh), len(bench) - 1)
+            hit = bench[idx] == sh
+        else:
+            hit = np.zeros(len(sh), dtype=bool)
+        rows_idx = np.repeat(np.arange(len(counts)), counts)
+        n_hit = np.bincount(rows_idx, weights=hit,
+                            minlength=len(counts)).astype(np.int64)
+        frac = np.round(np.divide(n_hit, counts, out=np.zeros(len(counts)),
+                                  where=counts > 0), 6)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "n_grams": pa.array(counts, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+            "overlap_frac": pa.array(frac, pa.float64()),
+        })
+
+    return docs.map_batches(overlap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per document: duplicate-line fraction and top-bigram fraction (the
+    Gopher repetition filters). Lines split on ``\\n`` as-is; bigrams over
+    the lowered ``\\w+`` word stream. Stateless vectorized map_batches —
+    one dictionary-encode per batch for lines, numpy lexsort segment scans
+    for per-row distinct counts and per-row max bigram frequency."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+
+        # --- duplicate-line fraction ---------------------------------------
+        lines = pc.split_pattern(text, pattern="\n")
+        loffs = np.asarray(lines.offsets, dtype=np.int64)
+        loffs = loffs - loffs[0]
+        lflat = lines.flatten()
+        n_rows = len(lines)
+        n_lines = np.diff(loffs)  # >= 1 for every row (splitting "" -> [""])
+        if len(lflat):
+            enc = lflat.dictionary_encode()
+            lvocab = hash_strings_u64(enc.dictionary.to_pylist())
+            lh = lvocab[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        else:
+            lh = np.empty(0, dtype=_U64)
+        rows_idx = np.repeat(np.arange(n_rows), n_lines)
+        order = np.lexsort((lh, rows_idx))
+        sh, sr = lh[order], rows_idx[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+        n_distinct = np.bincount(sr[first], minlength=n_rows)
+        dup_line_frac = np.round((n_lines - n_distinct) / n_lines, 6)
+
+        # --- top-bigram fraction --------------------------------------------
+        flat, offs = word_hashes_column(batch["text"])
+        n_words = np.diff(offs)
+        topc = np.zeros(n_rows, dtype=np.int64)
+        n = len(flat)
+        if n >= 2:
+            bg = mix64(flat[:-1] * _BG_M0 + flat[1:] * _BG_M1)
+            row_of = np.searchsorted(offs, np.arange(n, dtype=np.int64),
+                                     side="right") - 1
+            win_row = row_of[: n - 1]
+            valid = (np.arange(n - 1, dtype=np.int64) + 2) <= offs[win_row + 1]
+            bg, win_row = bg[valid], win_row[valid]
+            if len(bg):
+                order = np.lexsort((bg, win_row))
+                bg, win_row = bg[order], win_row[order]
+                starts = np.ones(len(bg), dtype=bool)
+                starts[1:] = (bg[1:] != bg[:-1]) | (win_row[1:] != win_row[:-1])
+                start_idx = np.flatnonzero(starts)
+                run_len = np.diff(np.append(start_idx, len(bg)))
+                np.maximum.at(topc, win_row[start_idx], run_len)
+        denom = np.maximum(n_words - 1, 1)
+        top_bigram_frac = np.round(
+            np.where(n_words >= 2, topc / denom, 0.0), 6)
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,139 @@
+"""Quality-screen queries (queries_quality.py): brute-force Python references
+for the vectorized contamination / repetition kernels, plus edge cases the
+synthetic corpus may not hit (empty text, punctuation-only, short docs,
+all-duplicate lines)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nhse_probabilistic_linkage_ray.functions.hashing import hash_strings_u64
+from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+    q_contamination_ngram_overlap,
+    q_repetition_stats,
+    word_hashes_column,
+)
+
+# RE2 \w is ASCII — the reference tokenizer must match (ADVICE r2)
+_WORD = re.compile(r"\w+", re.ASCII)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),          # bench (0 % 3 == 0)
+    (1, "the quick brown fox jumps over the lazy dog today"),          # exact copy of bench
+    (2, "a b c"),                                                      # < gram_len tokens
+    (3, "x\ny\nx\nz\nx"),                                              # dup lines (3 % 3 == 0 -> bench)
+    (4, ""),                                                           # empty
+    (5, "!!! ... ???"),                                                # punctuation only
+    (6, "go go go go go go go go"),                                    # one repeated word
+    (7, "the quick brown fox jumps over the lazy cat yesterday"),      # partial overlap
+    (8, "same\nsame\nsame"),                                           # all-dup lines
+]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("qualdocs")
+    ids, texts = zip(*DOCS)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "source": pa.array(["t"] * len(ids)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        d / "documents.parquet")
+    return str(d)
+
+
+def _words(text: str) -> list:
+    return _WORD.findall(text.lower())
+
+
+class TestWordHashesColumn:
+    def test_counts_match_re_ascii(self):
+        texts = [t for _, t in DOCS] + ["a!b", "!a", "  ", "one"]
+        flat, offs = word_hashes_column(pa.array(texts))
+        assert list(np.diff(offs)) == [len(_words(t)) for t in texts]
+
+    def test_same_word_same_hash_across_rows(self):
+        flat, offs = word_hashes_column(pa.array(["alpha beta", "beta alpha"]))
+        r0 = flat[offs[0]:offs[1]]
+        r1 = flat[offs[1]:offs[2]]
+        assert r0[0] == r1[1] and r0[1] == r1[0] and r0[0] != r0[1]
+
+    def test_hashes_are_vocab_blake2b(self):
+        flat, _ = word_hashes_column(pa.array(["zig zag"]))
+        expect = hash_strings_u64(["zig", "zag"])
+        assert list(flat) == list(expect)
+
+    def test_sliced_batch_offsets(self):
+        col = pa.array(["a b", "c d e", "f"]).slice(1, 2)
+        flat, offs = word_hashes_column(col)
+        assert list(np.diff(offs)) == [3, 1]
+
+
+def _brute_repetition(text: str) -> tuple:
+    lines = text.split("\n")
+    dup = round((len(lines) - len(set(lines))) / len(lines), 6)
+    ws = _words(text)
+    if len(ws) < 2:
+        top = 0.0
+    else:
+        bgs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        best = max(bgs.count(b) for b in set(bgs))
+        top = round(best / (len(ws) - 1), 6)
+    return dup, top
+
+
+def _brute_contamination(gram_len: int, bench_mod: int) -> dict:
+    grams = {}
+    for did, text in DOCS:
+        ws = _words(text)
+        grams[did] = {tuple(ws[i:i + gram_len])
+                      for i in range(len(ws) - gram_len + 1)}
+    bench = set().union(*(grams[d] for d, _ in DOCS if d % bench_mod == 0))
+    out = {}
+    for did, _ in DOCS:
+        if did % bench_mod == 0:
+            continue
+        g = grams[did]
+        hit = len(g & bench)
+        out[did] = (len(g), hit, round(hit / len(g), 6) if g else 0.0)
+    return out
+
+
+class TestRepetitionStats(object):
+    def test_matches_brute_force(self, docs_dir):
+        got = {r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"])
+               for r in q_repetition_stats(docs_dir).take_all()}
+        assert set(got) == {d for d, _ in DOCS}
+        for did, text in DOCS:
+            assert got[did] == pytest.approx(_brute_repetition(text)), did
+
+    def test_edge_values(self, docs_dir):
+        got = {r["doc_id"]: r for r in q_repetition_stats(docs_dir).take_all()}
+        assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+        assert got[8]["dup_line_frac"] == pytest.approx(round(2 / 3, 6))
+        assert got[6]["top_bigram_frac"] == 1.0  # "go go" is every bigram
+
+
+class TestContamination(object):
+    def test_matches_brute_force(self, docs_dir):
+        expect = _brute_contamination(gram_len=8, bench_mod=3)
+        got = {r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_frac"])
+               for r in q_contamination_ngram_overlap(
+                   docs_dir, gram_len=8, bench_mod=3).take_all()}
+        assert got == {k: (v[0], v[1], pytest.approx(v[2]))
+                       for k, v in expect.items()}
+
+    def test_exact_copy_fully_contaminated(self, docs_dir):
+        got = {r["doc_id"]: r for r in q_contamination_ngram_overlap(
+            docs_dir, gram_len=8, bench_mod=3).take_all()}
+        # doc 1 is an exact copy of bench doc 0 -> every gram hits
+        assert got[1]["n_grams"] == 3 and got[1]["overlap_frac"] == 1.0
+        # doc 2 has < 8 tokens -> zero grams, zero overlap
+        assert got[2]["n_grams"] == 0 and got[2]["overlap_frac"] == 0.0
