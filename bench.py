@@ -181,15 +181,23 @@ def _prefault_object_store(ray, store_bytes: int) -> None:
     window — afterwards object creation reuses already-backed pages whatever
     the weather. Also explains round-3's inverse scaling artifacts: an 8-CPU
     run faults more pages concurrently than a 2-CPU run, so provisioning
-    collapse punishes the WIDE run harder — pre-faulting removes that bias."""
+    collapse punishes the WIDE run harder — pre-faulting removes that bias.
+
+    Time-bounded (GRAFT_PREFAULT_MAX_SEC, default 180 s): in a collapsed
+    window (~7 MB/s) an unbounded 6.4 GB pre-fault would cost ~15 min per
+    process; a partial pre-fault is fine because the full-corpus warm-up run
+    that follows touches the remaining working-set pages anyway."""
     import numpy as np
 
     chunk = 64 << 20
     target = int(store_bytes * 0.80)
+    deadline = time.time() + float(os.environ.get("GRAFT_PREFAULT_MAX_SEC", "180"))
     refs = []
     try:
         for _ in range(target // chunk):
             refs.append(ray.put(np.zeros(chunk, dtype=np.uint8)))
+            if time.time() >= deadline:
+                break
     except Exception:
         pass  # store smaller than expected: whatever faulted is still warm
     del refs
