@@ -179,6 +179,15 @@ REGISTRY: dict = {
                  AS top_bigram_frac
         FROM ln JOIN tok USING (doc_id) LEFT JOIN top USING (doc_id)
     """),
+    "stratified_sample_per_lang": (qq.q_stratified_sample_per_lang, """
+        SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS rn
+          FROM documents)
+        WHERE rn <= 20
+    """),
     "word_jaccard_pairs": (qd.q_word_jaccard_pairs, """
         WITH w AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words

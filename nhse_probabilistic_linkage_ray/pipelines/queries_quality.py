@@ -136,6 +136,73 @@ def q_contamination_ngram_overlap(sf_dir: str, gram_len: int = 8, bench_mod: int
     return docs.map_batches(overlap, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_stratified_sample_per_lang(sf_dir: str, k: int = 20):
+    """Deterministic stratified sample: the ``k`` documents per language with
+    the smallest ``md5(doc_id)`` — hash-ordered so the sample is stable
+    across runs and machines (the curation analog of the reference's
+    seeded training-data subsample, SURVEY.md O2/O3, recast without RNG
+    state). Returns (lang, doc_id, rn) with rn = 1-based rank in the
+    stratum's hash order.
+
+    Scale plan: a per-batch PARTIAL top-k per language (combiner) bounds the
+    exchanged rows to k x n_langs x n_blocks regardless of corpus size —
+    top-k is associative, so the final exact pass runs over that bounded
+    candidate set on one partition (same bounded-reduce contract as the pair
+    engine's boundary pass). No global sort of the corpus, no per-group
+    pandas. A giant-stratum skew cannot occur: every batch contributes at
+    most k rows per language."""
+    import hashlib as _hl
+
+    def _topk(langs: np.ndarray, md5s: np.ndarray, dids: np.ndarray):
+        """Indices of the <= k smallest (md5, doc_id) rows per lang value."""
+        order = np.lexsort((dids, md5s, langs))
+        sl = langs[order]
+        new = np.ones(len(sl), dtype=bool)
+        new[1:] = sl[1:] != sl[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(sl)) - np.repeat(starts, np.diff(np.append(starts, len(sl))))
+        return order[rank < k], rank[rank < k]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "md5h": pa.array([], pa.string())})
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        md5s = np.array([_hl.md5(str(i).encode()).hexdigest() for i in did],
+                        dtype="S32")
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="S32")
+        keep, _ = _topk(langs, md5s, did)
+        sub = batch.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "lang": sub["lang"],
+            "doc_id": sub["doc_id"],
+            "md5h": pa.array([m.decode() for m in md5s[keep]], pa.string()),
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        md5s = np.asarray(batch["md5h"].to_pylist(), dtype="S32")
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="S32")
+        keep, rank = _topk(langs, md5s, did)
+        sub = batch.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "lang": sub["lang"],
+            "doc_id": sub["doc_id"],
+            "rn": pa.array(rank + 1, pa.int64()),
+        })
+
+    cand = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    # candidate set is <= k x n_langs x n_blocks rows BY CONSTRUCTION — the
+    # single-partition exact pass is a bounded reduce, not a materialization
+    return cand.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir: str):
     """Per document: duplicate-line fraction and top-bigram fraction (the
     Gopher repetition filters). Lines split on ``\\n`` as-is; bigrams over

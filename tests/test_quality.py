@@ -121,6 +121,36 @@ class TestRepetitionStats(object):
         assert got[6]["top_bigram_frac"] == 1.0  # "go go" is every bigram
 
 
+class TestStratifiedSample(object):
+    def test_matches_brute_force_and_is_deterministic(self, tmp_path):
+        import hashlib
+
+        rng = np.random.default_rng(3)
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        langs = rng.choice(["en", "de", "fr"], size=n)
+        pq.write_table(pa.table({"doc_id": pa.array(ids),
+                                 "lang": pa.array(langs)}),
+                       tmp_path / "documents.parquet")
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_stratified_sample_per_lang,
+        )
+        k = 7
+        rows = q_stratified_sample_per_lang(str(tmp_path), k=k).take_all()
+        got = {(r["lang"], r["doc_id"], r["rn"]) for r in rows}
+        expect = set()
+        for lang in ("en", "de", "fr"):
+            members = sorted(
+                (hashlib.md5(str(i).encode()).hexdigest(), int(i))
+                for i in ids[langs == lang])
+            expect |= {(lang, did, rn + 1)
+                       for rn, (_, did) in enumerate(members[:k])}
+        assert got == expect
+        # partial top-k per block must not depend on block layout
+        rows2 = q_stratified_sample_per_lang(str(tmp_path), k=k).take_all()
+        assert got == {(r["lang"], r["doc_id"], r["rn"]) for r in rows2}
+
+
 class TestContamination(object):
     def test_matches_brute_force(self, docs_dir):
         expect = _brute_contamination(gram_len=8, bench_mod=3)
