@@ -188,6 +188,50 @@ REGISTRY: dict = {
           FROM documents)
         WHERE rn <= 20
     """),
+    "pii_redaction": (qq.q_pii_redaction, """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(text,
+                   '\\b[0-9a-fA-F]{32,}\\b'))::BIGINT AS n_secrets,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\b[0-9a-fA-F]{32,}\\b', '<SECRET>', 'g') AS redacted
+        FROM documents
+    """),
+    "line_dedup_global": (qq.q_line_dedup_global, """
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
+          FROM documents
+        ),
+        c AS (SELECT line, count(*) AS n FROM l GROUP BY line)
+        SELECT l.doc_id,
+               count(*)::BIGINT AS n_lines,
+               count(CASE WHEN c.n = 1 THEN 1 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN c.n = 1 THEN l.line END,
+                                   chr(10) ORDER BY l.ord), '') AS cleaned
+        FROM l JOIN c USING (line)
+        GROUP BY l.doc_id
+    """),
+    "sequence_packing": (qq.q_sequence_packing, """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE coalesce(array_length(regexp_extract_all(trim(text), '\\S+')), 0)
+                 END::BIGINT AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 2048)::BIGINT AS chunk_id
+        FROM t
+    """),
     "word_jaccard_pairs": (qd.q_word_jaccard_pairs, """
         WITH w AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words

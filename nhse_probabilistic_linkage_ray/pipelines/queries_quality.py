@@ -203,6 +203,196 @@ def q_stratified_sample_per_lang(sf_dir: str, k: int = 20):
     return cand.repartition(1).map_batches(final, batch_format="pyarrow")
 
 
+# PII / secret patterns: pure-RE2 (no backrefs/lookaround), so the Arrow
+# kernels and the DuckDB oracle run the IDENTICAL engine — exact parity on
+# any corpus. Counts are taken on the ORIGINAL text; redaction is applied
+# sequentially (emails, then hex secrets) — both sides share that contract.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SECRET_RE = r"\b[0-9a-fA-F]{32,}\b"
+
+
+def q_pii_redaction(sf_dir: str):
+    """PII / credential scrubbing screen: per document, how many email
+    addresses and long-hex secrets (32+ hex chars — API keys, tokens,
+    md5/sha hashes) appear, plus the redacted text with each replaced by a
+    typed placeholder. The standard pre-training scrub (e.g. BigCode/The
+    Stack PII pipeline shape) expressed as a stateless vectorized
+    map_batches — Arrow RE2 kernels only, no per-row Python."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_emails = pc.count_substring_regex(text, pattern=EMAIL_RE)
+        n_secrets = pc.count_substring_regex(text, pattern=SECRET_RE)
+        red = pc.replace_substring_regex(text, pattern=EMAIL_RE,
+                                         replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=SECRET_RE,
+                                         replacement="<SECRET>")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_secrets": pc.cast(n_secrets, pa.int64()),
+            "redacted": red,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DUP_LINE_BROADCAST_LIMIT = 50_000_000
+
+
+def q_line_dedup_global(sf_dir: str):
+    """Corpus-wide exact duplicated-line removal (the CCNet / RefinedWeb
+    paragraph-dedup shape): a line is dropped when its exact text occurs
+    more than once across the ENTIRE corpus (multiplicity counted within a
+    document too); per document the survivor lines are re-joined in order.
+
+    Plan: pass 1 streams per-batch PARTIAL line-hash counts (np.unique
+    combiner — the shuffle moves per-batch line vocabularies, not the raw
+    line stream) through one groupby-sum; only hashes with total count >= 2
+    come back to the driver and broadcast via ray.put. That duplicated-line
+    vocabulary is the small side BY CONTRACT (boilerplate lines, license
+    headers — sublinear in corpus size); if it ever exceeded
+    DUP_LINE_BROADCAST_LIMIT entries the membership probe would become a
+    hash-partitioned join on line_hash, same switch the scorer documents.
+    Pass 2 re-streams the corpus, membership-checks each line with one
+    vectorized searchsorted, and rebuilds the kept text with
+    ``pc.binary_join`` — no per-row Python anywhere. Line identity is
+    blake2b-64; a false drop needs a 64-bit collision between two distinct
+    corpus lines (negligible; same contract as substring_gram_pairs)."""
+
+    def _line_hashes(text: pa.Array | pa.ChunkedArray):
+        """(flat line values, per-row int64 offsets, uint64 hashes)."""
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        lines = pc.split_pattern(text, pattern="\n")
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        offs = offs - offs[0]  # sliced batches
+        flat = lines.flatten()
+        if len(flat) == 0:
+            return flat, offs, np.empty(0, dtype=_U64)
+        enc = flat.dictionary_encode()
+        vocab = hash_strings_u64(enc.dictionary.to_pylist())
+        h = vocab[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return flat, offs, h
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, _, h = _line_hashes(batch["text"])
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    dup_parts = []
+    counted = docs.map_batches(partial_counts, batch_format="pyarrow",
+                               zero_copy_batch=True).groupby("h").sum("n")
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        if len(b) == 0 or "h" not in b.column_names:
+            continue
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        dup_parts.append(
+            b["h"].to_numpy(zero_copy_only=False)[n >= 2].view(_U64))
+    dup = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, _U64)
+    if len(dup) > DUP_LINE_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "duplicated-line vocabulary exceeds the broadcast contract; "
+            "switch to the hash-partitioned join path")
+    dup_ref = ray.put(dup)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        flat, offs, h = _line_hashes(batch["text"])
+        if len(dup) and len(h):
+            idx = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            keep = dup[idx] != h
+        else:
+            keep = np.ones(len(h), dtype=bool)
+        n_lines = np.diff(offs)
+        # every row yields >= 1 line (splitting "" gives [""]) so the
+        # reduceat start indices are strictly increasing and safe
+        n_kept = (np.add.reduceat(keep.astype(np.int64), offs[:-1])
+                  if len(h) else np.zeros(len(batch), np.int64))
+        kept_offs = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=kept_offs[1:])
+        kept_flat = flat.filter(pa.array(keep)) if len(h) else flat
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(kept_offs, pa.int32()), kept_flat)
+        cleaned = pc.binary_join(kept_lists, "\n")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "cleaned": cleaned,
+        })
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sequence_packing(sf_dir: str, budget: int = 2048):
+    """Fixed-boundary sequence packing: documents in doc_id order are packed
+    into training chunks of ``budget`` whitespace tokens;
+    ``chunk_id = floor(tokens_before_this_doc / budget)`` — the
+    deterministic, order-stable contract (a doc that straddles a boundary
+    belongs to the chunk it started in).
+
+    This is a distributed prefix-scan, which the Dataset API cannot express
+    directly (SURVEY.md's "drop to raw Ray tasks only where Dataset can't"):
+    the NARROW (doc_id, n_tokens) table is range-sorted by doc_id, then one
+    tiny remote task per block computes its token sum (block sums are
+    n_blocks numbers — the only thing the driver ever holds), the driver
+    prefix-sums them into per-block offsets, and one remote task per block
+    adds its offset to the block's internal cumsum. The fat text column
+    never moves; output re-enters Ray Data via from_arrow_refs, still one
+    block per input block."""
+    from nhse_probabilistic_linkage_ray.functions import textstats
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = textstats.token_count_ws(batch["text"].to_pylist())
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    narrow = (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(tokens, batch_format="pyarrow")
+              .sort("doc_id")
+              .materialize())
+
+    # empty range-sort partitions carry a degenerate schema (no columns) —
+    # the repo's known empty-partition contract; both tasks guard for it
+    @ray.remote(num_cpus=0.5)
+    def block_sum(t: pa.Table) -> int:
+        if len(t) == 0 or "n_tokens" not in t.column_names:
+            return 0
+        return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+    @ray.remote(num_cpus=0.5)
+    def assign(t: pa.Table, offset: int, budget: int) -> pa.Table:
+        if len(t) == 0 or "n_tokens" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64())})
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        cum_before = offset + np.cumsum(n) - n
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_tokens": t["n_tokens"].combine_chunks(),
+            "chunk_id": pa.array(cum_before // budget, pa.int64()),
+        })
+
+    refs = narrow.to_arrow_refs()
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums[:-1]))) if sums else []
+    out = [assign.remote(r, int(off), budget) for r, off in zip(refs, offsets)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(out)
+
+
 def q_repetition_stats(sf_dir: str):
     """Per document: duplicate-line fraction and top-bigram fraction (the
     Gopher repetition filters). Lines split on ``\\n`` as-is; bigrams over

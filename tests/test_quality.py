@@ -151,6 +151,140 @@ class TestStratifiedSample(object):
         assert got == {(r["lang"], r["doc_id"], r["rn"]) for r in rows2}
 
 
+class TestPiiRedaction(object):
+    DOCS = [
+        (0, "mail me at alice.smith+dev@example.co.uk or bob@x.io thanks"),
+        (1, "key=deadbeefdeadbeefdeadbeefdeadbeef rest"),
+        (2, "short hex deadbeef is fine; DEADBEEFdeadbeefDEADBEEFdeadbeefAA too long"),
+        (3, ""),
+        (4, "no pii here\njust text"),
+        (5, "a@b.co c@d.ee e@f.gg"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def pii_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("piidocs")
+        ids, texts = zip(*self.DOCS)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts, pa.string())}),
+                       d / "documents.parquet")
+        return str(d)
+
+    def test_matches_python_re(self, pii_dir):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            EMAIL_RE,
+            SECRET_RE,
+            q_pii_redaction,
+        )
+        email = re.compile(EMAIL_RE)
+        secret = re.compile(SECRET_RE)
+        got = {r["doc_id"]: r for r in q_pii_redaction(pii_dir).take_all()}
+        assert set(got) == {d for d, _ in self.DOCS}
+        for did, text in self.DOCS:
+            assert got[did]["n_emails"] == len(email.findall(text)), did
+            assert got[did]["n_secrets"] == len(secret.findall(text)), did
+            expect = secret.sub("<SECRET>", email.sub("<EMAIL>", text))
+            assert got[did]["redacted"] == expect, did
+
+    def test_specific_counts(self, pii_dir):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_pii_redaction,
+        )
+        got = {r["doc_id"]: r for r in q_pii_redaction(pii_dir).take_all()}
+        assert got[0]["n_emails"] == 2 and got[0]["n_secrets"] == 0
+        assert got[1]["n_secrets"] == 1
+        assert got[2]["n_secrets"] == 1  # only the 34-char run; 8-char ignored
+        assert got[5]["n_emails"] == 3
+        assert got[5]["redacted"] == "<EMAIL> <EMAIL> <EMAIL>"
+
+
+class TestLineDedupGlobal(object):
+    DOCS = [
+        (0, "unique one\nshared line\nunique two"),
+        (1, "shared line\nonly here"),
+        (2, "self dup\nself dup\nlonely"),   # within-doc multiplicity counts
+        (3, ""),                             # one empty line; dup iff another
+        (4, "tail\n"),                       # trailing \n -> empty last line
+        (5, "solo"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def line_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("linedocs")
+        ids, texts = zip(*self.DOCS)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts, pa.string())}),
+                       d / "documents.parquet")
+        return str(d)
+
+    def test_matches_brute_force(self, line_dir):
+        from collections import Counter
+
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_line_dedup_global,
+        )
+        counts = Counter(ln for _, t in self.DOCS for ln in t.split("\n"))
+        got = {r["doc_id"]: r for r in q_line_dedup_global(line_dir).take_all()}
+        assert set(got) == {d for d, _ in self.DOCS}
+        for did, text in self.DOCS:
+            lines = text.split("\n")
+            kept = [ln for ln in lines if counts[ln] == 1]
+            assert got[did]["n_lines"] == len(lines), did
+            assert got[did]["n_kept"] == len(kept), did
+            assert got[did]["cleaned"] == "\n".join(kept), did
+
+    def test_edge_semantics(self, line_dir):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_line_dedup_global,
+        )
+        got = {r["doc_id"]: r for r in q_line_dedup_global(line_dir).take_all()}
+        # "shared line" appears in docs 0 and 1 -> dropped from both
+        assert got[0]["cleaned"] == "unique one\nunique two"
+        assert got[1]["cleaned"] == "only here"
+        # within-doc duplicate counts toward the corpus total
+        assert got[2]["cleaned"] == "lonely"
+        # the empty line occurs in doc 3 and doc 4's trailing split -> dup
+        assert got[3]["n_kept"] == 0 and got[3]["cleaned"] == ""
+        assert got[4]["cleaned"] == "tail"
+
+
+class TestSequencePacking(object):
+    def test_matches_brute_force_prefix_scan(self, tmp_path):
+        rng = np.random.default_rng(11)
+        n = 500
+        ids = np.arange(n, dtype=np.int64)
+        texts = [" ".join(["tok"] * int(k)) for k in rng.integers(0, 90, n)]
+        pq.write_table(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts, pa.string())}),
+                       tmp_path / "documents.parquet")
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_sequence_packing,
+        )
+        budget = 256
+        rows = q_sequence_packing(str(tmp_path), budget=budget).take_all()
+        got = {r["doc_id"]: (r["n_tokens"], r["chunk_id"]) for r in rows}
+        cum = 0
+        for did, text in zip(ids, texts):
+            nt = len(text.split()) if text.strip() else 0
+            assert got[int(did)] == (nt, cum // budget), did
+            cum += nt
+        # chunks are contiguous: ids 0..max all present
+        chunk_ids = sorted({v[1] for v in got.values()})
+        assert chunk_ids == list(range(chunk_ids[-1] + 1))
+
+    def test_doc_straddling_boundary_stays_in_starting_chunk(self, tmp_path):
+        texts = ["a " * 10, "b " * 10, "c " * 10]  # budget 16: doc1 straddles
+        pq.write_table(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                                 "text": pa.array([t.strip() for t in texts])}),
+                       tmp_path / "documents.parquet")
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_sequence_packing,
+        )
+        got = {r["doc_id"]: r["chunk_id"]
+               for r in q_sequence_packing(str(tmp_path), budget=16).take_all()}
+        assert got == {0: 0, 1: 0, 2: 1}
+
+
 class TestContamination(object):
     def test_matches_brute_force(self, docs_dir):
         expect = _brute_contamination(gram_len=8, bench_mod=3)
