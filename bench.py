@@ -436,13 +436,38 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     pair_calm_wait = float(os.environ.get("GRAFT_SCALE_CALM_WAIT_SEC", "900"))
+    # collection mode: instead of a fixed repeat count, keep running pairs
+    # until TARGET_VALID pairs are valid (steal-calm AND in-run provisioning
+    # healthy) or the wall budget expires. The round-2/3 lesson: degraded
+    # pairs are worthless, so spend wall time hunting calm windows, not
+    # repeating into known-bad ones — in this mode a pair whose pre-gate
+    # never turns calm is SKIPPED (sleep + re-gate), never burned.
+    target_valid = int(os.environ.get("GRAFT_SCALE_TARGET_VALID", "0"))
+    max_wall = float(os.environ.get("GRAFT_SCALE_MAX_WALL_SEC", "7200"))
+    ft_inrun_min = float(os.environ.get("GRAFT_CALM_FT_INRUN", "30"))
+    log_path = os.environ.get("GRAFT_SCALE_LOG", "/tmp/graft_scaling_pairs.jsonl")
+    t_start = time.time()
+
+    def ft_ok(r: dict) -> bool:
+        fi = r.get("ft_in_run")
+        return bool(fi) and fi["med"] >= ft_inrun_min
+
     pairs = []
-    for _ in range(repeats):
+    n_valid = 0
+    while True:
+        if target_valid:
+            if n_valid >= target_valid or time.time() - t_start > max_wall:
+                break
+        elif len(pairs) >= repeats:
+            break
         # wait (bounded) for a calm host window before EACH pair — round 2's
         # floor-amortized scaling run was unusable because it never landed in
         # one; stamp the pre-pair probe either way so BASELINE.md readers can
         # filter degraded pairs.
         pre_pair_health = wait_for_calm(pair_calm_wait)
+        if target_valid and not is_calm(pre_pair_health):
+            # known-bad window: a 15-minute pair here cannot be valid
+            continue
         # hardware-availability probe IMMEDIATELY around each bench pair: on
         # this shared VM the hypervisor grants a varying number of effective
         # cores; the probe's lo->hi speedup is the ceiling ANY program can
@@ -460,6 +485,13 @@ def run_scaling() -> dict:
         # store + full warm-up; ft_in_run is recorded as an annotation.)
         steals = [r_lo.get("steal_frac"), r_hi.get("steal_frac")]
         calm_in_run = all(s is not None and s < 0.03 for s in steals)
+        # ft_in_run_ok: the OTHER half of in-run validity — the concurrent
+        # weather trace must show healthy page provisioning (median >=
+        # GRAFT_CALM_FT_INRUN MB/s) DURING both timed runs. The round-3 gauge
+        # failure mode: steal ~0.2-0.7% (calm_in_run true) while provisioning
+        # sat at ~10 MB/s and punished the wide run 3x — steal alone is not
+        # validity on a memory-overcommitted host.
+        ft_in_run_ok = ft_ok(r_lo) and ft_ok(r_hi)
         pairs.append({
             "host_health_pre": pre_pair_health,
             "calm": is_calm(pre_pair_health),
@@ -475,11 +507,22 @@ def run_scaling() -> dict:
             "efficiency": round(speedup / (hi / lo), 3),
             "hw_probe_speedup": round(hw_speedup, 3),
             "efficiency_vs_hw": round(speedup / hw_speedup, 3) if hw_speedup else None,
+            "ft_in_run_ok": ft_in_run_ok,
+            "valid": calm_in_run and ft_in_run_ok,
         })
+        n_valid += int(pairs[-1]["valid"])
         print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
+        try:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(pairs[-1]) + "\n")
+        except Exception:
+            pass
+    if not pairs:
+        return {"metric": f"scaling efficiency ({lo} -> {hi} CPUs)",
+                "runs": [], "error": "no pairs ran (no calm window in budget)"}
     effs = sorted(p["efficiency"] for p in pairs)
     effs_hw = sorted(p["efficiency_vs_hw"] for p in pairs)
-    effs_calm = sorted(p["efficiency"] for p in pairs if p["calm_in_run"])
+    effs_calm = sorted(p["efficiency"] for p in pairs if p["valid"])
 
     def med(v):
         n = len(v)
@@ -492,8 +535,8 @@ def run_scaling() -> dict:
         "min_efficiency": effs[0],
         "max_efficiency": effs[-1],
         "median_efficiency_vs_hw": round(med(effs_hw), 3),
-        "calm_in_run_pairs": len(effs_calm),
-        "median_efficiency_calm": round(med(effs_calm), 3) if effs_calm else None,
+        "valid_pairs": len(effs_calm),
+        "median_efficiency_valid": round(med(effs_calm), 3) if effs_calm else None,
     }
 
 
