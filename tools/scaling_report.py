@@ -1,0 +1,75 @@
+"""Render a `bench.py --scaling` pairs log as a BASELINE.md-ready table.
+
+Collection mode (`GRAFT_SCALE_TARGET_VALID=n`) appends one JSON object per
+completed pair to `GRAFT_SCALE_LOG`; this tool turns that log into the
+markdown evidence block for the north rule's two-parallelism scaling
+criterion: per-pair rows (raw + hw-normalized efficiency, in-run steal and
+provisioning weather, validity verdict) plus medians over the valid subset.
+
+Usage: python tools/scaling_report.py /tmp/graft_scaling_pairs_r3.jsonl
+"""
+
+import json
+import sys
+
+
+def _lo_hi(p: dict) -> tuple[int, int]:
+    ns = sorted(int(k.split("_")[-1]) for k in p if k.startswith("sec_"))
+    return ns[0], ns[-1]
+
+
+def _med(vals):
+    v = sorted(vals)
+    n = len(v)
+    if not n:
+        return None
+    return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
+
+
+def render(pairs: list[dict]) -> str:
+    lo, hi = _lo_hi(pairs[0])
+    out = []
+    out.append(
+        f"| pair | sec_{lo} | sec_{hi} | files/s_{lo} | files/s_{hi} | raw eff "
+        f"| hw eff | steal_{lo} | steal_{hi} | ft_in_run_{lo} | ft_in_run_{hi} | valid |"
+    )
+    out.append("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for i, p in enumerate(pairs, 1):
+        def ft(n):
+            f = p.get(f"ft_in_run_{n}")
+            return f"{f['med']:.0f} MB/s (min {f['min']:.0f})" if f else "-"
+
+        out.append(
+            f"| {i} | {p[f'sec_{lo}']:.1f} | {p[f'sec_{hi}']:.1f} "
+            f"| {p[f'files_per_sec_{lo}']:.0f} | {p[f'files_per_sec_{hi}']:.0f} "
+            f"| {p['efficiency']:.3f} | {p.get('efficiency_vs_hw', float('nan')):.3f} "
+            f"| {p.get(f'steal_frac_{lo}', float('nan')):.1%} "
+            f"| {p.get(f'steal_frac_{hi}', float('nan')):.1%} "
+            f"| {ft(lo)} | {ft(hi)} "
+            f"| {'**yes**' if p.get('valid') else 'no'} |"
+        )
+    valid = [p for p in pairs if p.get("valid")]
+    out.append("")
+    out.append(
+        f"Pairs: {len(pairs)} total, {len(valid)} valid. "
+        f"Median raw efficiency (valid pairs): "
+        f"{_med([p['efficiency'] for p in valid])!r}; "
+        f"median hw-normalized (valid pairs): "
+        f"{_med([p.get('efficiency_vs_hw') for p in valid])!r}; "
+        f"median raw (all pairs): {_med([p['efficiency'] for p in pairs])!r}."
+    )
+    return "\n".join(out)
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scaling_pairs.jsonl"
+    with open(path) as f:
+        pairs = [json.loads(line) for line in f if line.strip()]
+    if not pairs:
+        print("no pairs in log", file=sys.stderr)
+        sys.exit(1)
+    print(render(pairs))
+
+
+if __name__ == "__main__":
+    main()
