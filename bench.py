@@ -276,6 +276,11 @@ def run_bench() -> dict:
     n_clusters = 0
     steal_frac = None
     pin_n = NUM_CPUS if os.environ.get("GRAFT_PINNED") else None
+    # scaling children: mark the moment the TIMED window opens so the parent's
+    # watchdog only judges in-run weather collapse after warm-up/pre-fault
+    marker = os.environ.get("GRAFT_TIMED_MARKER")
+    if marker:
+        open(marker, "w").close()
     for _ in range(int(os.environ.get("GRAFT_BENCH_TIMED_RUNS", "2"))):
         s0, st0 = read_steal(pin_n)
         t0 = time.time()
@@ -406,16 +411,75 @@ def run_scaling() -> dict:
                        "--weather-sampler", trace_path]
         if _sh.which("taskset"):
             sampler_cmd = ["taskset", "-c", "28-31"] + sampler_cmd
+        # collection-mode watchdog (GRAFT_SCALE_TARGET_VALID): a run whose
+        # timed window sits in a provisioning collapse can only produce an
+        # invalid pair, yet riding it out costs 10-25 min of hunt budget (the
+        # round-3 doomed pair: hi run 408 s vs 275 s at lo — inverse scaling
+        # under 10 MB/s first-touch). Abort the child when the concurrent
+        # weather trace shows sustained collapse (8 consecutive samples, i.e.
+        # ~40 s, below GRAFT_CALM_FT_INRUN) after a grace period from the
+        # moment the child opens its timed window (GRAFT_TIMED_MARKER), or on
+        # a hard timeout. Legacy fixed-repeat mode is untouched.
+        marker = trace_path + ".start"
+        out_path, err_path = trace_path + ".out", trace_path + ".err"
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+        env["GRAFT_TIMED_MARKER"] = marker
         sampler = subprocess.Popen(sampler_cmd, stdout=subprocess.DEVNULL,
                                    stderr=subprocess.DEVNULL)
+        aborted = None
         try:
-            out = subprocess.run(cmd, env=env,
-                                 capture_output=True, text=True, check=True,
-                                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            with open(out_path, "w") as of, open(err_path, "w") as ef:
+                proc = subprocess.Popen(
+                    cmd, env=env, stdout=of, stderr=ef,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    start_new_session=True)
+            t_child = time.time()
+            grace = float(os.environ.get("GRAFT_SCALE_ABORT_GRACE", "90"))
+            run_timeout = float(os.environ.get("GRAFT_SCALE_RUN_TIMEOUT", "2400"))
+            while proc.poll() is None:
+                time.sleep(5)
+                if not target_valid:
+                    continue  # legacy mode: never abort
+                if time.time() - t_child > run_timeout:
+                    aborted = "timeout"
+                elif (os.path.exists(marker)
+                      and time.time() - os.path.getmtime(marker) > grace):
+                    try:
+                        tail = [json.loads(ln)["ft"] for ln in
+                                open(trace_path).read().splitlines()[-8:]]
+                    except Exception:
+                        tail = []
+                    if len(tail) >= 8 and all(f < ft_inrun_min for f in tail):
+                        aborted = "ft_collapse"
+                if aborted:
+                    import signal as _sig
+                    try:
+                        os.killpg(proc.pid, _sig.SIGTERM)
+                    except ProcessLookupError:
+                        pass
+                    try:
+                        proc.wait(timeout=15)
+                    except subprocess.TimeoutExpired:
+                        try:
+                            os.killpg(proc.pid, _sig.SIGKILL)
+                        except ProcessLookupError:
+                            pass
+                        proc.wait()
+                    break
         finally:
             sampler.terminate()
             sampler.wait()
-        res = json.loads(out.strip().splitlines()[-1])
+        if aborted:
+            res: dict = {"aborted": aborted, "value": None, "steal_frac": None}
+        elif proc.returncode != 0:
+            raise subprocess.CalledProcessError(
+                proc.returncode, cmd, open(out_path).read(), open(err_path).read())
+        else:
+            out = open(out_path).read()
+            res = json.loads(out.strip().splitlines()[-1])
         try:
             fts = sorted(json.loads(ln)["ft"] for ln in open(trace_path))
             res["ft_in_run"] = {"min": fts[0], "med": fts[len(fts) // 2],
@@ -423,6 +487,11 @@ def run_scaling() -> dict:
             os.unlink(trace_path)
         except Exception:
             res["ft_in_run"] = None
+        for p in (out_path, err_path, marker):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
         return res
 
     def probe(ncpu: int) -> float:
@@ -473,10 +542,42 @@ def run_scaling() -> dict:
         # cores; the probe's lo->hi speedup is the ceiling ANY program can
         # reach at that moment, so efficiency_vs_hw = pipeline speedup /
         # probe speedup separates pipeline scaling from host steal.
+        def _skip(reason: str, partial: dict) -> None:
+            rec = dict(partial, skipped_pair=reason,
+                       host_health_pre=pre_pair_health, valid=False)
+            print(json.dumps(rec), file=sys.stderr, flush=True)
+            try:
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            except Exception:
+                pass
+
         p_lo = probe(lo)
         r_lo = run(lo)
+        # mid-pair gate (collection mode): if the lo run already failed in-run
+        # validity (aborted, stolen, or provisioning-collapsed), the pair
+        # cannot be valid no matter what the hi run measures — skip the hi
+        # run and return to hunting instead of burning its wall time.
+        lo_valid = (not r_lo.get("aborted")
+                    and r_lo.get("steal_frac") is not None
+                    and r_lo["steal_frac"] < 0.03 and ft_ok(r_lo))
+        if target_valid and not lo_valid:
+            _skip("lo_run_invalid", {
+                "aborted": r_lo.get("aborted"),
+                f"sec_{lo}": r_lo.get("value"),
+                f"steal_frac_{lo}": r_lo.get("steal_frac"),
+                f"ft_in_run_{lo}": r_lo.get("ft_in_run")})
+            continue
         p_hi = probe(hi)
         r_hi = run(hi)
+        if target_valid and r_hi.get("aborted"):
+            _skip("hi_run_aborted", {
+                "aborted": r_hi.get("aborted"),
+                f"sec_{lo}": r_lo.get("value"),
+                f"steal_frac_{lo}": r_lo.get("steal_frac"),
+                f"ft_in_run_{lo}": r_lo.get("ft_in_run"),
+                f"ft_in_run_{hi}": r_hi.get("ft_in_run")})
+            continue
         hw_speedup = p_hi / p_lo if p_lo else float("nan")
         speedup = r_lo["value"] / r_hi["value"]
         # calm_in_run: the decisive per-pair validity flag — BOTH timed

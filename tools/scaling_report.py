@@ -26,7 +26,14 @@ def _med(vals):
     return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
 
 
-def render(pairs: list[dict]) -> str:
+def render(all_recs: list[dict]) -> str:
+    # collection mode also logs skipped half-pairs (mid-pair gate / watchdog
+    # aborts) — they carry no hi-side seconds and are excluded from the table
+    skipped = [r for r in all_recs if r.get("skipped_pair")]
+    pairs = [r for r in all_recs if not r.get("skipped_pair")]
+    if not pairs:
+        return (f"No complete pairs ({len(skipped)} skipped: "
+                f"{[r['skipped_pair'] for r in skipped]})")
     lo, hi = _lo_hi(pairs[0])
     out = []
     out.append(
@@ -51,7 +58,8 @@ def render(pairs: list[dict]) -> str:
     valid = [p for p in pairs if p.get("valid")]
     out.append("")
     out.append(
-        f"Pairs: {len(pairs)} total, {len(valid)} valid. "
+        f"Pairs: {len(pairs)} complete ({len(skipped)} skipped by the "
+        f"mid-pair gate / watchdog), {len(valid)} valid. "
         f"Median raw efficiency (valid pairs): "
         f"{_med([p['efficiency'] for p in valid])!r}; "
         f"median hw-normalized (valid pairs): "
