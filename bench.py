@@ -277,9 +277,22 @@ def run_bench() -> dict:
     steal_frac = None
     pin_n = NUM_CPUS if os.environ.get("GRAFT_PINNED") else None
     # scaling children: mark the moment the TIMED window opens so the parent's
-    # watchdog only judges in-run weather collapse after warm-up/pre-fault
+    # watchdog only judges in-run weather collapse after warm-up/pre-fault.
+    # Before opening it, gate HERE (bounded) on provisioning health — the
+    # round-3 pattern was a calm pre-pair probe followed by a collapsed timed
+    # window ~10 minutes later (setup takes that long at 2 pinned CPUs); the
+    # pre-pair gate fires at the wrong moment, this one fires at the right
+    # one. On deadline expiry run anyway — the parent watchdog and the
+    # ft_in_run validity gate still protect the measurement.
     marker = os.environ.get("GRAFT_TIMED_MARKER")
     if marker:
+        gate_sec = float(os.environ.get("GRAFT_TIMED_GATE_SEC", "240"))
+        gate_ft = float(os.environ.get("GRAFT_TIMED_GATE_FT", "40"))
+        gate_deadline = time.time() + gate_sec
+        while time.time() < gate_deadline:
+            if host_health()["first_touch_mb_per_sec"] >= gate_ft:
+                break
+            time.sleep(15)
         open(marker, "w").close()
     for _ in range(int(os.environ.get("GRAFT_BENCH_TIMED_RUNS", "2"))):
         s0, st0 = read_steal(pin_n)
