@@ -26,7 +26,36 @@ def _med(vals):
     return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
 
 
+def render_singles(recs: list[dict]) -> str:
+    out = ["| # | side (CPUs) | sec | files/s | steal | ft_in_run (med/min) | valid |",
+           "|---|---|---|---|---|---|---|"]
+    for i, r in enumerate(recs, 1):
+        f = r.get("ft_in_run")
+        ft = f"{f['med']:.0f}/{f['min']:.0f} MB/s" if f else "-"
+        sec = f"{r['sec']:.1f}" if r.get("sec") else f"({r.get('aborted')})"
+        fps = f"{r['files_per_sec']:.0f}" if r.get("files_per_sec") else "-"
+        st = f"{r['steal_frac']:.1%}" if r.get("steal_frac") is not None else "-"
+        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {st} | {ft} "
+                   f"| {'**yes**' if r.get('valid') else 'no'} |")
+    sides = sorted({r["side"] for r in recs})
+    if len(sides) == 2:
+        lo, hi = sides
+        lo_s = sorted(r["sec"] for r in recs if r["side"] == lo and r.get("valid"))
+        hi_s = sorted(r["sec"] for r in recs if r["side"] == hi and r.get("valid"))
+        if lo_s and hi_s:
+            m_lo, m_hi = _med(lo_s), _med(hi_s)
+            out.append("")
+            out.append(
+                f"Valid singles: {len(lo_s)}x{lo}-CPU (median {m_lo:.1f}s), "
+                f"{len(hi_s)}x{hi}-CPU (median {m_hi:.1f}s). Pooled raw "
+                f"efficiency = {m_lo:.1f} / ({hi // lo} x {m_hi:.1f}) = "
+                f"**{m_lo / ((hi / lo) * m_hi):.3f}**.")
+    return "\n".join(out)
+
+
 def render(all_recs: list[dict]) -> str:
+    if any("side" in r for r in all_recs):
+        return render_singles(all_recs)
     # collection mode also logs skipped half-pairs (mid-pair gate / watchdog
     # aborts) — they carry no hi-side seconds and are excluded from the table
     skipped = [r for r in all_recs if r.get("skipped_pair")]
