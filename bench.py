@@ -79,7 +79,33 @@ def host_health() -> dict:
         iters += 1
     cpu = iters / (_t.perf_counter() - t0)
     return {"cpu_iters_per_sec": round(cpu, 1),
-            "first_touch_mb_per_sec": first_touch_probe()}
+            "first_touch_mb_per_sec": first_touch_probe(),
+            "resident_mb_per_sec": resident_bw_probe()}
+
+
+_RESIDENT_BUF = None
+
+
+def resident_bw_probe() -> float:
+    """MB/s of READING already-resident pages — the bandwidth a warmed-up
+    timed run actually lives on. On this host first-touch provisioning and
+    resident bandwidth are metered SEPARATELY (measured 2026-08-18: resident
+    7.5-10 GB/s while first-touch read 22 MB/s), so first-touch is the wrong
+    validity instrument for post-warm-up timed windows — it rejected six
+    straight healthy windows in round 3. The 128 MB buffer faults once per
+    process (paid at provisioning speed) and is reused; each call is one
+    timed sum pass (~15-130 ms)."""
+    global _RESIDENT_BUF
+    import time as _t
+
+    import numpy as _np
+
+    if _RESIDENT_BUF is None:
+        _RESIDENT_BUF = _np.ones((128 << 20) >> 3, dtype=_np.float64)
+    t0 = _t.perf_counter()
+    _RESIDENT_BUF.sum()
+    dt = _t.perf_counter() - t0
+    return round(128 / dt, 1) if dt > 0 else float("inf")
 
 
 def first_touch_probe(max_mb: int = 256, max_sec: float = 2.0) -> float:
@@ -134,10 +160,15 @@ def read_steal(ncpu: int | None = None) -> tuple[int, float]:
 # has been measured at ft=77 MB/s, so its gate is the loose "not collapsed".
 CALM_CPU = float(os.environ.get("GRAFT_CALM_CPU", "250"))
 CALM_FT = float(os.environ.get("GRAFT_CALM_FT", "50"))
+# resident-bandwidth alternative: a provisioning-throttled window with full
+# resident bandwidth is perfectly usable for a warmed-up timed run
+CALM_RB = float(os.environ.get("GRAFT_CALM_RB", "3000"))
 
 
 def is_calm(h: dict) -> bool:
-    return h["cpu_iters_per_sec"] >= CALM_CPU and h["first_touch_mb_per_sec"] >= CALM_FT
+    return h["cpu_iters_per_sec"] >= CALM_CPU and (
+        h["first_touch_mb_per_sec"] >= CALM_FT
+        or h.get("resident_mb_per_sec", 0.0) >= CALM_RB)
 
 
 def wait_for_calm(max_wait_sec: float, poll_sec: float = 60.0) -> dict:
@@ -299,9 +330,13 @@ def run_bench() -> dict:
     if marker:
         gate_sec = float(os.environ.get("GRAFT_TIMED_GATE_SEC", "420"))
         gate_ft = float(os.environ.get("GRAFT_TIMED_GATE_FT", "40"))
+        gate_rb = float(os.environ.get("GRAFT_TIMED_GATE_RB", "3000"))
         gate_deadline = time.time() + gate_sec
         while time.time() < gate_deadline:
-            if host_health()["first_touch_mb_per_sec"] >= gate_ft:
+            # resident bandwidth is what the warmed-up timed run lives on;
+            # healthy first-touch also passes (implies both resources)
+            if (resident_bw_probe() >= gate_rb
+                    or first_touch_probe(max_mb=64, max_sec=1.0) >= gate_ft):
                 break
             time.sleep(15)
         open(marker, "w").close()
@@ -471,13 +506,17 @@ def run_scaling() -> dict:
                     aborted = "timeout"
                 elif (os.path.exists(marker)
                       and time.time() - os.path.getmtime(marker) > grace):
+                    # resident bandwidth is the decisive signal (rb); traces
+                    # from pre-instrument children lack it -> fall back to ft
                     try:
-                        tail = [json.loads(ln)["ft"] for ln in
+                        tail = [json.loads(ln) for ln in
                                 open(trace_path).read().splitlines()[-8:]]
                     except Exception:
                         tail = []
-                    if len(tail) >= 8 and all(f < ft_inrun_min for f in tail):
-                        aborted = "ft_collapse"
+                    if len(tail) >= 8 and all(
+                            (s["rb"] < rb_inrun_min if "rb" in s
+                             else s["ft"] < ft_inrun_min) for s in tail):
+                        aborted = "weather_collapse"
                 if aborted:
                     import signal as _sig
                     try:
@@ -505,12 +544,17 @@ def run_scaling() -> dict:
             out = open(out_path).read()
             res = json.loads(out.strip().splitlines()[-1])
         try:
-            fts = sorted(json.loads(ln)["ft"] for ln in open(trace_path))
+            samples = [json.loads(ln) for ln in open(trace_path)]
+            fts = sorted(s["ft"] for s in samples)
             res["ft_in_run"] = {"min": fts[0], "med": fts[len(fts) // 2],
                                 "n": len(fts)}
+            rbs = sorted(s["rb"] for s in samples if "rb" in s)
+            res["rb_in_run"] = ({"min": rbs[0], "med": rbs[len(rbs) // 2],
+                                 "n": len(rbs)} if rbs else None)
             os.unlink(trace_path)
         except Exception:
             res["ft_in_run"] = None
+            res["rb_in_run"] = None
         for p in (out_path, err_path, marker):
             try:
                 os.unlink(p)
@@ -538,10 +582,21 @@ def run_scaling() -> dict:
     target_valid = int(os.environ.get("GRAFT_SCALE_TARGET_VALID", "0"))
     max_wall = float(os.environ.get("GRAFT_SCALE_MAX_WALL_SEC", "7200"))
     ft_inrun_min = float(os.environ.get("GRAFT_CALM_FT_INRUN", "30"))
+    rb_inrun_min = float(os.environ.get("GRAFT_CALM_RB_INRUN", "1500"))
     log_path = os.environ.get("GRAFT_SCALE_LOG", "/tmp/graft_scaling_pairs.jsonl")
     t_start = time.time()
 
     def ft_ok(r: dict) -> bool:
+        # in-run weather validity: resident bandwidth (rb) is decisive —
+        # a warmed-up timed run lives on resident reads, and this host
+        # meters resident vs first-touch bandwidth separately. ft remains
+        # the fallback for traces from pre-instrument children, and a
+        # healthy ft also passes (it implies provisioning AND bandwidth).
+        rb = r.get("rb_in_run")
+        if rb:
+            ft = r.get("ft_in_run")
+            return rb["med"] >= rb_inrun_min or (
+                bool(ft) and ft["med"] >= ft_inrun_min)
         fi = r.get("ft_in_run")
         return bool(fi) and fi["med"] >= ft_inrun_min
 
@@ -579,7 +634,8 @@ def run_scaling() -> dict:
             rec = {"side": side, "sec": r.get("value"),
                    "files_per_sec": r.get("files_per_sec"),
                    "probe_iters": p, "steal_frac": r.get("steal_frac"),
-                   "ft_in_run": r.get("ft_in_run"), "aborted": r.get("aborted"),
+                   "ft_in_run": r.get("ft_in_run"),
+                   "rb_in_run": r.get("rb_in_run"), "aborted": r.get("aborted"),
                    "host_health_pre": pre, "valid": ok}
             singles.append(rec)
             print(json.dumps(rec), file=sys.stderr, flush=True)
@@ -696,6 +752,8 @@ def run_scaling() -> dict:
             f"steal_frac_{hi}": r_hi.get("steal_frac"),
             f"ft_in_run_{lo}": r_lo.get("ft_in_run"),
             f"ft_in_run_{hi}": r_hi.get("ft_in_run"),
+            f"rb_in_run_{lo}": r_lo.get("rb_in_run"),
+            f"rb_in_run_{hi}": r_hi.get("rb_in_run"),
             f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
             f"files_per_sec_{lo}": r_lo["files_per_sec"],
             f"files_per_sec_{hi}": r_hi["files_per_sec"],
@@ -737,12 +795,16 @@ def run_scaling() -> dict:
 
 
 def run_weather_sampler(outfile: str, interval: float = 4.0) -> None:
-    """Append {ts, ft} JSON lines until killed: the in-run provisioning trace
-    for scaling pairs (started on CPUs outside any pinned bench set)."""
+    """Append {ts, ft, rb} JSON lines until killed: the in-run weather trace
+    for scaling runs (started on CPUs outside any pinned bench set).
+    ft = first-touch provisioning MB/s (diagnostic); rb = resident read
+    MB/s — the decisive signal for a warmed-up timed window."""
     while True:
         ft = first_touch_probe(max_mb=64, max_sec=1.0)
+        rb = resident_bw_probe()
         with open(outfile, "a") as f:
-            f.write(json.dumps({"ts": round(time.time(), 1), "ft": ft}) + "\n")
+            f.write(json.dumps({"ts": round(time.time(), 1), "ft": ft,
+                                "rb": rb}) + "\n")
         time.sleep(interval)
 
 

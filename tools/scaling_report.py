@@ -27,15 +27,18 @@ def _med(vals):
 
 
 def render_singles(recs: list[dict]) -> str:
-    out = ["| # | side (CPUs) | sec | files/s | steal | ft_in_run (med/min) | valid |",
-           "|---|---|---|---|---|---|---|"]
+    out = ["| # | side (CPUs) | sec | files/s | steal | ft_in_run (med/min) "
+           "| rb_in_run (med/min) | valid |",
+           "|---|---|---|---|---|---|---|---|"]
     for i, r in enumerate(recs, 1):
         f = r.get("ft_in_run")
         ft = f"{f['med']:.0f}/{f['min']:.0f} MB/s" if f else "-"
+        b = r.get("rb_in_run")
+        rb = f"{b['med']:.0f}/{b['min']:.0f} MB/s" if b else "-"
         sec = f"{r['sec']:.1f}" if r.get("sec") else f"({r.get('aborted')})"
         fps = f"{r['files_per_sec']:.0f}" if r.get("files_per_sec") else "-"
         st = f"{r['steal_frac']:.1%}" if r.get("steal_frac") is not None else "-"
-        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {st} | {ft} "
+        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {st} | {ft} | {rb} "
                    f"| {'**yes**' if r.get('valid') else 'no'} |")
     sides = sorted({r["side"] for r in recs})
     if len(sides) == 2:
