@@ -506,16 +506,25 @@ def run_scaling() -> dict:
                     aborted = "timeout"
                 elif (os.path.exists(marker)
                       and time.time() - os.path.getmtime(marker) > grace):
-                    # resident bandwidth is the decisive signal (rb); traces
-                    # from pre-instrument children lack it -> fall back to ft
+                    # Watchdog abort criterion is DECOUPLED from the validity
+                    # gate (round-3 lesson: overloading GRAFT_CALM_RB_INRUN for
+                    # both meant an ft-only validity config turned the watchdog
+                    # into an unconditional killer). A sample marks collapse
+                    # when first-touch is HARD-collapsed (< GRAFT_WATCHDOG_FT,
+                    # the ~5-15 MB/s regime where runs inverse-scale) or
+                    # resident bandwidth itself fell below GRAFT_WATCHDOG_RB.
+                    # ft in the 15-30 MB/s gray zone rides out: the validity
+                    # gate, not the watchdog, adjudicates those runs.
                     try:
                         tail = [json.loads(ln) for ln in
                                 open(trace_path).read().splitlines()[-8:]]
                     except Exception:
                         tail = []
+                    wd_ft = float(os.environ.get("GRAFT_WATCHDOG_FT", "10"))
+                    wd_rb = float(os.environ.get("GRAFT_WATCHDOG_RB", "1500"))
                     if len(tail) >= 8 and all(
-                            (s["rb"] < rb_inrun_min if "rb" in s
-                             else s["ft"] < ft_inrun_min) for s in tail):
+                            s["ft"] < wd_ft or s.get("rb", float("inf")) < wd_rb
+                            for s in tail):
                         aborted = "weather_collapse"
                 if aborted:
                     import signal as _sig
@@ -585,6 +594,11 @@ def run_scaling() -> dict:
     rb_inrun_min = float(os.environ.get("GRAFT_CALM_RB_INRUN", "1500"))
     log_path = os.environ.get("GRAFT_SCALE_LOG", "/tmp/graft_scaling_pairs.jsonl")
     t_start = time.time()
+    # stamp the active gate thresholds into every record: runs collected
+    # under different validity configs must never be pooled silently
+    gate_cfg = {"ft_inrun_min": ft_inrun_min, "rb_inrun_min": rb_inrun_min,
+                "calm_ft": CALM_FT, "calm_rb": CALM_RB, "calm_cpu": CALM_CPU,
+                "nbase": int(nbase)}
 
     def ft_ok(r: dict) -> bool:
         # in-run weather validity: resident bandwidth (rb) is decisive —
@@ -636,7 +650,7 @@ def run_scaling() -> dict:
                    "probe_iters": p, "steal_frac": r.get("steal_frac"),
                    "ft_in_run": r.get("ft_in_run"),
                    "rb_in_run": r.get("rb_in_run"), "aborted": r.get("aborted"),
-                   "host_health_pre": pre, "valid": ok}
+                   "host_health_pre": pre, "valid": ok, "gate_cfg": gate_cfg}
             singles.append(rec)
             print(json.dumps(rec), file=sys.stderr, flush=True)
             try:
@@ -763,6 +777,7 @@ def run_scaling() -> dict:
             "efficiency_vs_hw": round(speedup / hw_speedup, 3) if hw_speedup else None,
             "ft_in_run_ok": ft_in_run_ok,
             "valid": calm_in_run and ft_in_run_ok,
+            "gate_cfg": gate_cfg,
         })
         n_valid += int(pairs[-1]["valid"])
         print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
