@@ -232,6 +232,47 @@ REGISTRY: dict = {
                 // 2048)::BIGINT AS chunk_id
         FROM t
     """),
+    "code_quality_screens": (qq.q_code_quality_screens, """
+        WITH l AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_lines,
+                 max(length(line))::BIGINT AS max_line_len,
+                 sum(length(line))::BIGINT AS sum_line_len
+          FROM l GROUP BY doc_id
+        )
+        SELECT d.doc_id, agg.n_lines, agg.max_line_len, agg.sum_line_len,
+               length(d.text)::BIGINT AS n_chars,
+               length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g'))::BIGINT AS n_alnum,
+               length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+               (CASE WHEN agg.max_line_len <= 1000
+                          AND agg.sum_line_len <= 100 * agg.n_lines
+                          AND 4 * length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g'))
+                              >= length(d.text)
+                     THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM documents d JOIN agg USING (doc_id)
+    """),
+    "license_header_screen": (qq.q_license_header_screen, """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN regexp_matches(substr(text, 1, 512),
+                     '(?i)(spdx-license-identifier|apache license|mit license|gnu general public license|bsd license|mozilla public license|licensed under)')
+                   THEN 1 ELSE 0 END)::BIGINT AS n_licensed
+        FROM documents GROUP BY source
+    """),
+    "bloom_incremental_dedup": (qd.q_bloom_incremental_dedup, """
+        WITH k AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                     regexp_extract_all(lower(text), '\\w+'))), ' ')) AS key
+          FROM documents
+        )
+        SELECT n.doc_id FROM k n
+        WHERE n.doc_id % 5 = 0
+          AND EXISTS (SELECT 1 FROM k b
+                      WHERE b.doc_id % 5 <> 0 AND b.key = n.key)
+    """),
     "word_jaccard_pairs": (qd.q_word_jaccard_pairs, """
         WITH w AS (
           SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS words

@@ -901,3 +901,135 @@ def q_embedding_dedup_keep_one(sf_dir: str, threshold: float = 0.4):
         })
 
     return assigned.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- bloom incremental dedup
+
+def q_bloom_incremental_dedup(sf_dir: str, n_bits: int = 1 << 17,
+                              n_probes: int = 4):
+    """Bloom-prefiltered incremental dedup: which NEW documents duplicate a
+    BASE corpus, where duplicate means equal *word set* (the M9
+    order-insensitive signature — sorted distinct ``\\w+`` words of
+    ``lower(text)``). The deterministic split is new = doc_id % 5 == 0,
+    base = the rest.
+
+    This is the 10^12-scale membership pattern: the base corpus's keys are
+    folded into a fixed-size Bloom bitmap (one streaming pass, per-batch
+    partial bitmaps OR-combined), the new side probes the broadcast bitmap
+    (vectorized bit tests), and only the tiny surviving candidate set —
+    true duplicates plus the Bloom false-positive residue — is confirmed
+    EXACTLY against a second base scan. The result is therefore exact (the
+    Bloom filter only prunes), while neither side's key set is ever
+    materialized in full: driver memory is the bitmap (n_bits/8 bytes)
+    plus the candidate set (dup_rate + FPR of the new side).
+
+    Key equality is compared through a 64-bit order-insensitive set hash
+    (sum of splitmix64-finalized blake2b-64 word hashes); as elsewhere
+    (substring_gram_pairs), a false equality needs a ~2^-64 collision.
+    """
+    from nhse_probabilistic_linkage_ray.functions.hashing import mix64
+    from nhse_probabilistic_linkage_ray.functions.shingle import shingle_hashes
+    from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+        word_hashes_column,
+    )
+
+    _U64 = np.uint64
+    n_words = n_bits // 64
+    # probe salts: distinct odd multipliers -> n_probes independent positions
+    salts = mix64(np.arange(1, n_probes + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
+
+    def set_keys(batch: pa.Table) -> np.ndarray:
+        """Order-insensitive word-set hash per row (uint64)."""
+        flat, offs = word_hashes_column(batch["text"])
+        sh, so = shingle_hashes(flat, offs, 1)
+        mixed = mix64(sh)
+        keys = np.zeros(len(so) - 1, dtype=_U64)
+        nz = np.flatnonzero(np.diff(so) > 0)
+        if len(nz):
+            keys[nz] = np.add.reduceat(mixed, so[nz])
+        return keys
+
+    def probe_positions(keys: np.ndarray) -> np.ndarray:
+        """(len(keys), n_probes) int64 bit positions."""
+        return np.stack([
+            (mix64(keys * s) % _U64(n_bits)).astype(np.int64) for s in salts
+        ], axis=1)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    # pass A: base-side partial Bloom bitmaps, OR-combined on the driver
+    # (sparse per-batch encoding: only nonzero words ship; the combined
+    # bitmap is n_bits/8 bytes regardless of corpus size)
+    def base_bitmap(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % 5 != 0))
+        bm = np.zeros(n_words, dtype=_U64)
+        if len(sub):
+            pos = probe_positions(set_keys(sub)).ravel()
+            np.bitwise_or.at(bm, pos >> 6, _U64(1) << (pos & 63).astype(_U64))
+        nz = np.flatnonzero(bm)
+        return pa.table({"idx": pa.array(nz, pa.int64()),
+                         "val": pa.array(bm[nz].view(np.int64), pa.int64())})
+
+    bitmap = np.zeros(n_words, dtype=_U64)
+    for b in docs.map_batches(base_bitmap, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(
+                                  batch_format="pyarrow"):
+        idx = b["idx"].to_numpy(zero_copy_only=False)
+        val = b["val"].to_numpy(zero_copy_only=False).view(_U64)
+        np.bitwise_or.at(bitmap, idx, val)
+    bm_ref = ray.put(bitmap)
+
+    # pass B: new-side probe -> candidate (doc_id, key); tiny by contract
+    def probe_new(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % 5 == 0))
+        if len(sub) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        keys = set_keys(sub)
+        pos = probe_positions(keys)
+        hit = ((bm[pos >> 6] >> (pos & 63).astype(_U64)) & _U64(1)).astype(bool)
+        cand = hit.all(axis=1)
+        return pa.table({
+            "doc_id": sub["doc_id"].combine_chunks().filter(pa.array(cand)),
+            "key": pa.array(keys[cand].view(np.int64), pa.int64()),
+        })
+
+    cand_batches = list(docs.map_batches(
+        probe_new, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    cand = (pa.concat_tables(cand_batches) if cand_batches
+            else pa.table({"doc_id": pa.array([], pa.int64()),
+                           "key": pa.array([], pa.int64())}))
+    cand_keys = np.unique(cand["key"].to_numpy(zero_copy_only=False).view(_U64))
+    ck_ref = ray.put(cand_keys)
+
+    # pass C: exact confirm — which candidate keys truly occur base-side
+    def confirm(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % 5 != 0))
+        out = np.empty(0, dtype=np.int64)
+        if len(sub) and len(ck):
+            keys = set_keys(sub)
+            i = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
+            out = np.unique(keys[ck[i] == keys]).view(np.int64)
+        return pa.table({"key": pa.array(out, pa.int64())})
+
+    conf_parts = [b["key"].to_numpy(zero_copy_only=False).view(_U64)
+                  for b in docs.map_batches(
+                      confirm, batch_format="pyarrow",
+                      zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    confirmed = (np.unique(np.concatenate(conf_parts)) if conf_parts
+                 else np.empty(0, dtype=_U64))
+
+    ckeys = cand["key"].to_numpy(zero_copy_only=False).view(_U64)
+    if len(confirmed) and len(ckeys):
+        i = np.minimum(np.searchsorted(confirmed, ckeys), len(confirmed) - 1)
+        dup = confirmed[i] == ckeys
+    else:
+        dup = np.zeros(len(ckeys), dtype=bool)
+    out = cand.filter(pa.array(dup)).select(["doc_id"])
+    return ray.data.from_arrow(out)

@@ -459,3 +459,107 @@ def q_repetition_stats(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_code_quality_screens(sf_dir: str):
+    """StarCoder/BigCode-style generated- and data-file screens per document
+    (Li et al. 2023 "StarCoder", §3.1 filtering: line-length and
+    alphanumeric-fraction heuristics that drop minified/generated code and
+    data blobs before training).
+
+    All columns are INTEGER counts so the DuckDB oracle compares exactly
+    (no float rounding surface): per document the line count, max/total
+    line length (lines split on ``\\n`` as-is), total characters, alnum and
+    digit character counts, and the keep verdict as integer arithmetic —
+    keep = max_line_len <= 1000 AND mean line length <= 100 (sum <= 100*n)
+    AND alnum fraction >= 0.25 (4*n_alnum >= n_chars). Stateless vectorized
+    map_batches: Arrow split + utf8_length + RE2 count kernels, numpy
+    reduceat segment scans; no per-row Python."""
+
+    def screens(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+
+        lines = pc.split_pattern(text, pattern="\n")
+        loffs = np.asarray(lines.offsets, dtype=np.int64)
+        loffs = loffs - loffs[0]
+        llen = pc.utf8_length(lines.flatten()).to_numpy(zero_copy_only=False)
+        n_rows = len(lines)
+        n_lines = np.diff(loffs)  # >= 1 per row: splitting "" yields [""]
+        if len(llen):
+            max_line = np.maximum.reduceat(llen, loffs[:-1])
+            sum_line = np.add.reduceat(llen, loffs[:-1])
+        else:
+            max_line = np.zeros(n_rows, dtype=np.int64)
+            sum_line = np.zeros(n_rows, dtype=np.int64)
+
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_alnum = pc.count_substring_regex(
+            text, pattern="[a-zA-Z0-9]").to_numpy(zero_copy_only=False)
+        n_digit = pc.count_substring_regex(
+            text, pattern="[0-9]").to_numpy(zero_copy_only=False)
+        keep = ((max_line <= 1000) & (sum_line <= 100 * n_lines)
+                & (4 * n_alnum >= n_chars)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "max_line_len": pa.array(max_line, pa.int64()),
+            "sum_line_len": pa.array(sum_line, pa.int64()),
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+            "n_alnum": pa.array(n_alnum.astype(np.int64), pa.int64()),
+            "n_digit": pa.array(n_digit.astype(np.int64), pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        screens, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_LICENSE_RE = (r"(?i)(spdx-license-identifier|apache license|mit license"
+               r"|gnu general public license|bsd license"
+               r"|mozilla public license|licensed under)")
+
+
+def q_license_header_screen(sf_dir: str):
+    """Per-source license tally: how many documents carry a recognizable
+    license/SPDX marker in their first 512 characters (the cheap header scan
+    code-curation pipelines run before applying per-license routing).
+
+    Partial counts are combined INSIDE map_batches (in-batch group-by via
+    dictionary_encode + bincount), so the groupby shuffle moves one tiny row
+    per (batch, source) instead of one per document — the repo's standard
+    pre-aggregation pattern. RE2 on both sides: Arrow match_substring_regex
+    here, DuckDB regexp_matches in the oracle; the 512-char head is
+    codepoint-sliced on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        head = pc.utf8_slice_codeunits(pc.fill_null(text, ""), 0, 512)
+        hit = pc.match_substring_regex(head, pattern=_LICENSE_RE)
+        hit = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_src = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_docs_part": pa.array(np.bincount(idx, minlength=n_src),
+                                    pa.int64()),
+            "n_licensed_part": pa.array(
+                np.bincount(idx, weights=hit, minlength=n_src).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = (_docs(sf_dir, ["source", "text"])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs_part", alias_name="n_docs"),
+                      Sum("n_licensed_part", alias_name="n_licensed")))
+    return agg
