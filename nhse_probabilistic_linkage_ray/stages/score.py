@@ -40,7 +40,34 @@ from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_flat
 from nhse_probabilistic_linkage_ray.functions.lcs import lcs_fraction
 from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
 
-BROADCAST_ROW_LIMIT = 300_000  # feature rows below this are ray.put-broadcast
+# Broadcast/join switch. The broadcast path's real constraint is BYTES, not
+# rows: the signature blocks live once in plasma and every node that scores
+# pulls a copy into its local store, so the whole table must fit comfortably
+# in ONE node's object store (shared zero-copy across that node's workers —
+# per-worker heap cost is only the 24 B/row id index). The join path exists
+# for the regime where it doesn't fit (billions of docs / 100 TB); its two
+# hash-partitioned shuffles move every fat payload byte, so switching too
+# early is a cliff (measured: 315k files scored in ~40 s broadcast vs ~150 s
+# join at 8 CPUs). Defaults: half a node's plasma, 30M-row id-index cap
+# (~0.7 GB worker heap); both env-overridable.
+BROADCAST_ROW_LIMIT = int(__import__("os").environ.get("GRAFT_SCORE_BROADCAST_ROWS", str(30_000_000)))
+BROADCAST_STORE_FRACTION = 0.5
+
+
+def _broadcast_byte_limit() -> float:
+    import os
+
+    env = os.environ.get("GRAFT_SCORE_BROADCAST_BYTES")
+    if env:
+        return float(env)
+    try:
+        total = float(ray.cluster_resources().get("object_store_memory", 0.0))
+        nodes = max(1, len([n for n in ray.nodes() if n.get("Alive", True)]))
+        if total > 0:
+            return BROADCAST_STORE_FRACTION * total / nodes
+    except Exception:
+        pass
+    return float(4 << 30)
 
 # ---------------------------------------------------------------- plugins
 # User-extension surface (SURVEY.md §2.10): the analog of the reference's
@@ -460,7 +487,15 @@ def score_stage(
     rows = signature_rows
     if strategy == "auto":
         rows = rows if rows is not None else signatures_ds.count()
-        strategy = "broadcast" if rows <= BROADCAST_ROW_LIMIT else "join"
+        # size_bytes() is free metadata on the materialized signatures the
+        # pipeline passes here; on a lazy dataset it executes — same cost as
+        # the count() this path already paid.
+        try:
+            sig_bytes = signatures_ds.size_bytes() or 0
+        except Exception:
+            sig_bytes = 0
+        fits = rows <= BROADCAST_ROW_LIMIT and sig_bytes <= _broadcast_byte_limit()
+        strategy = "broadcast" if fits else "join"
 
     if strategy == "broadcast":
         # hand tasks the signature table's OWN Arrow block refs — blocks stay
