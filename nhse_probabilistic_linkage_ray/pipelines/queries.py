@@ -261,6 +261,17 @@ REGISTRY: dict = {
                    THEN 1 ELSE 0 END)::BIGINT AS n_licensed
         FROM documents GROUP BY source
     """),
+    "mixture_sample": (qq.q_mixture_sample, """
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296
+              < (substr(source, 4)::BIGINT % 4 + 1) * 536870912
+    """),
+    "shard_manifest": (qq.q_shard_manifest, """
+        SELECT (((doc_id * 2654435761) % 4294967296) % 32)::BIGINT AS shard_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS n_chars
+        FROM documents GROUP BY 1
+    """),
     "bloom_incremental_dedup": (qd.q_bloom_incremental_dedup, """
         WITH k AS (
           SELECT doc_id,

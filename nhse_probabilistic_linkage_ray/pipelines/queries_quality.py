@@ -563,3 +563,80 @@ def q_license_header_screen(sf_dir: str):
            .aggregate(Sum("n_docs_part", alias_name="n_docs"),
                       Sum("n_licensed_part", alias_name="n_licensed")))
     return agg
+
+
+# Knuth multiplicative hash over doc_id for sampling / shard routing: exact
+# integer arithmetic available on BOTH sides (numpy uint64 here; DuckDB
+# BIGINT in the oracle — doc_id * 2654435761 stays < 2^63 for any
+# doc_id < 2^31, and the testdata ids are dense small ints), so assignment
+# is bit-identical with no hashing UDF and no per-row Python md5 loop.
+_KNUTH32 = 2654435761  # floor(2^32 / golden ratio), Knuth TAOCP v3 §6.4
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic weighted mixture sampling across sources — the corpus
+    mixing step of an LLM data pipeline (sample source s at rate w_s when
+    assembling the training mix). Rates are derived from the source name so
+    the operator needs no external weight table: w = ((suffix % 4) + 1) / 8,
+    i.e. sources cycle through 12.5% / 25% / 37.5% / 50%.
+
+    A document is kept iff (doc_id * 2654435761) mod 2^32 < w * 2^32 — a
+    multiplicative hash threshold, so membership is a pure function of the
+    row (stable across runs, machines, partitionings; the same no-RNG-state
+    contract as ``q_stratified_sample_per_lang`` and SURVEY.md O2/O3).
+    Fully vectorized single-pass filter: no shuffle, no state; at 10^12 rows
+    this is a streaming map over (doc_id, source) only — text never loads.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
+        h = (did * _U64(_KNUTH32)) % _U64(1 << 32)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        suf = pc.cast(pc.utf8_slice_codeunits(pc.fill_null(src, "src0"), 3, 16),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        thr = ((suf % 4 + 1).astype(_U64)) * _U64(1 << 29)
+        keep = pa.array(h < thr)
+        return batch.filter(keep).select(["doc_id", "source"])
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_shard_manifest(sf_dir: str, n_shards: int = 32):
+    """Training-shard export manifest: route every document to a
+    deterministic output shard (hash(doc_id) mod ``n_shards`` — the
+    resumable-export layout the north rule's "partitioned Parquet, one
+    directory per key range" calls for) and report per-shard document and
+    character totals, i.e. the manifest a sharded `write_parquet` export
+    would record per partition (see ``state/manifests.py``).
+
+    Scale shape: per-batch partial sums via ``np.bincount`` (one row per
+    (batch, shard) leaves the map stage), then a tiny ``groupby('shard_id')``
+    over <= n_shards x n_blocks partial rows — the repo's standard
+    pre-aggregation pattern (``q_license_header_screen``,
+    ``q_returnflag_totals``). n_chars sums stay < 2^53, so the float64
+    bincount weights are exact.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
+        h = (did * _U64(_KNUTH32)) % _U64(1 << 32)
+        sh = (h % _U64(n_shards)).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = np.bincount(sh, minlength=n_shards)
+        nc = np.bincount(sh, weights=nch, minlength=n_shards)
+        nz = np.flatnonzero(nd)
+        return pa.table({
+            "shard_id": pa.array(nz, pa.int64()),
+            "n_docs_part": pa.array(nd[nz], pa.int64()),
+            "n_chars_part": pa.array(nc[nz].astype(np.int64), pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("shard_id")
+            .aggregate(Sum("n_docs_part", alias_name="n_docs"),
+                       Sum("n_chars_part", alias_name="n_chars")))

@@ -82,9 +82,22 @@ def checkpoint(
     data_tmp = os.path.join(tmp, "data")
     os.makedirs(data_tmp, exist_ok=True)
     ds.write_parquet(data_tmp)
-    # per-partition lineage: record the part files + row count
-    parts = sorted(os.listdir(data_tmp))
-    rows = ray.data.read_parquet(data_tmp).count()
+    # per-partition lineage: rows + bytes per part file, straight from the
+    # Parquet footers (driver-side metadata reads — no Ray job, no data scan;
+    # at 10^12 rows this is one footer per output shard). A resumed or
+    # audited run can verify any single partition against its recorded
+    # row count without touching the others.
+    import pyarrow.parquet as pq
+
+    parts = []
+    for name in sorted(os.listdir(data_tmp)):
+        p = os.path.join(data_tmp, name)
+        parts.append({
+            "file": name,
+            "rows": pq.ParquetFile(p).metadata.num_rows,
+            "bytes": os.stat(p).st_size,
+        })
+    rows = sum(p["rows"] for p in parts)
     manifest = {
         "stage": stage,
         "config_hash": config_hash,
