@@ -647,6 +647,20 @@ REGISTRY: dict = {
                count(*) AS n
         FROM events GROUP BY 1, 2
     """),
+    "asof_join_events_orders": (qr.q_asof_join_events_orders, """
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 TIMESTAMP '1995-01-01' + (event_id % 2500) * INTERVAL 1 DAY
+                   AS cut
+          FROM events
+        )
+        SELECT ev.event_id, ev.user_id, o.o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM ev LEFT JOIN orders o
+          ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.cut
+        QUALIFY row_number() OVER (PARTITION BY ev.event_id
+                ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
+    """),
     "user_sessions": (qr.q_user_sessions, """
         SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions FROM (
           SELECT user_id,

@@ -587,3 +587,90 @@ def q_user_sessions(sf_dir: str):
         seg_fn=sess,
         result_schema=pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64())]),
     )
+
+
+def q_asof_join_events_orders(sf_dir: str):
+    """As-of join — a custom operator Ray Data lacks (and the reference never
+    needed: Splink joins are equality-blocked): for each event, the LATEST
+    order of the same customer dated at or before the event's cutoff date
+    (a deterministic per-event date spread over the order-date range, since
+    the synthetic event clock is disjoint from the order clock).
+
+    Distributed shape — the canonical two-sided merge asof: union both sides
+    tagged into a NARROW (key, t, side, payload) stream, ONE global
+    range-partitioning sort by (user_id, t, side, o_orderkey), then the
+    shared vectorized segment scan (stages/segments.py) forward-fills the
+    latest order index onto event rows with ``np.maximum.accumulate``. At
+    10^12 rows this costs one sort of the projected columns; no per-key
+    shuffle, no driver-side window state, boundary keys handled by the
+    engine's tiny second pass. Tie-breaks are total: at equal (key, t)
+    orders sort before events (<= semantics) and the largest o_orderkey
+    wins.
+    """
+    from nhse_probabilistic_linkage_ray.stages.segments import grouped_segment_apply
+
+    EPOCH_1995_DAYS = 9131  # days from 1970-01-01 to 1995-01-01
+    US_PER_DAY = 86_400_000_000
+
+    def ev_prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cut = (EPOCH_1995_DAYS + eid % 2500) * US_PER_DAY
+        n = len(t)
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "t": pa.array(cut, pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "event_id": t["event_id"].combine_chunks(),
+            "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+            "o_totalprice": pa.array(np.full(n, np.nan), pa.float64()),
+        })
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "user_id": t["o_custkey"].combine_chunks(),
+            "t": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "event_id": pa.array(np.full(n, -1, np.int64)),
+            "o_orderkey": t["o_orderkey"].combine_chunks(),
+            "o_totalprice": t["o_totalprice"].combine_chunks(),
+        })
+
+    unioned = _t(sf_dir, "events", ["event_id", "user_id"]) \
+        .map_batches(ev_prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(_t(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+               .map_batches(ord_prep, batch_format="pyarrow", zero_copy_batch=True))
+
+    def seg(group: dict) -> dict:
+        side = np.asarray(group["side"])
+        n = len(side)
+        # forward-fill: index of the latest order row at or above each row
+        last_ord = np.maximum.accumulate(
+            np.where(side == 0, np.arange(n), -1))
+        evm = side == 1
+        li = last_ord[evm]
+        has = li >= 0
+        li0 = np.maximum(li, 0)
+        okey = np.asarray(group["o_orderkey"])[li0].astype(object)
+        price = np.round(np.asarray(group["o_totalprice"])[li0], 2).astype(object)
+        okey[~has] = None
+        price[~has] = None
+        return {
+            "event_id": np.asarray(group["event_id"])[evm],
+            "user_id": np.asarray(group["user_id"])[evm],
+            "o_orderkey": okey,
+            "o_totalprice": price,
+        }
+
+    return grouped_segment_apply(
+        unioned,
+        key_col="user_id",
+        sort_cols=["user_id", "t", "side", "o_orderkey"],
+        descending=[False, False, False, False],
+        seg_fn=seg,
+        result_schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("o_orderkey", pa.int64()), ("o_totalprice", pa.float64()),
+        ]),
+    )

@@ -271,3 +271,54 @@ class TestPerTierTF:
         mapped = exact_group_stage(ingest_stage(
             ray.data.from_arrow(small_corpus), cfg), cfg)
         assert "tf_value" not in mapped.schema().names
+
+
+class TestAsofJoin:
+    """q_asof_join_events_orders vs a brute-force pandas asof at sf0.001."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from nhse_probabilistic_linkage_ray.pipelines.queries_relational import (
+            q_asof_join_events_orders,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_asof_join_events_orders(sf).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+
+        ev = pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id"])
+        orders = pd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        cut = (pd.Timestamp("1995-01-01")
+               + pd.to_timedelta(ev["event_id"] % 2500, unit="D"))
+        rows = []
+        by_cust = dict(tuple(orders.groupby("o_custkey")))
+        for eid, uid, c in zip(ev["event_id"], ev["user_id"], cut):
+            og = by_cust.get(uid)
+            sel = og[og["o_orderdate"] <= c] if og is not None else None
+            if sel is None or len(sel) == 0:
+                rows.append((eid, uid, None, None))
+            else:
+                # latest date, max orderkey tie-break — the operator's contract
+                top = sel.sort_values(
+                    ["o_orderdate", "o_orderkey"]).iloc[-1]
+                rows.append((eid, uid, int(top["o_orderkey"]),
+                             round(float(top["o_totalprice"]), 2)))
+        want = pd.DataFrame(rows, columns=[
+            "event_id", "user_id", "o_orderkey", "o_totalprice"]) \
+            .sort_values("event_id").reset_index(drop=True)
+
+        assert len(got) == len(want)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        gk = got["o_orderkey"].astype("Int64")
+        wk = want["o_orderkey"].astype("Int64")
+        assert gk.equals(wk)
+        gp = got["o_totalprice"].astype(float)
+        wp = want["o_totalprice"].astype(float)
+        assert np.allclose(gp.fillna(-1), wp.fillna(-1))
+        # the null (no preceding order) path must actually be exercised
+        assert gk.isna().any()
