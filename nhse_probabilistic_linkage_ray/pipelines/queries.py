@@ -370,6 +370,28 @@ REGISTRY: dict = {
         FROM g a JOIN g b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.grams, b.grams)) > 0
     """),
+    "repo_overlap_pairs": (qd.q_repo_overlap_pairs, """
+        -- repo pairs sharing >= 3 distinct 5-token substrings (vendored /
+        -- fork screen); overlap = shared / min(per-repo distinct grams)
+        WITH d AS (SELECT source AS repo,
+                          regexp_extract_all(text, '\\w+|[^\\w\\s]') AS w
+                   FROM documents),
+        g AS (SELECT repo, CASE WHEN len(w) >= 5 THEN
+                list_distinct([array_to_string(w[i:i+4], chr(30))
+                               FOR i IN generate_series(1, len(w) - 4)])
+              ELSE [] END AS grams FROM d),
+        rg AS (SELECT DISTINCT repo, unnest(grams) AS gram FROM g),
+        cnt AS (SELECT repo, count(*) AS n FROM rg GROUP BY repo),
+        pairs AS (
+          SELECT a.repo AS r1, b.repo AS r2, count(*) AS shared
+          FROM rg a JOIN rg b ON a.gram = b.gram AND a.repo < b.repo
+          GROUP BY 1, 2
+        )
+        SELECT r1, r2, shared::BIGINT AS shared,
+               round(shared::DOUBLE / least(c1.n, c2.n), 6) AS overlap
+        FROM pairs JOIN cnt c1 ON c1.repo = r1 JOIN cnt c2 ON c2.repo = r2
+        WHERE shared >= 3
+    """),
     "simhash_near_pairs": (qd.q_simhash_near_pairs, """
         -- md5-token SimHash replayed in SQL: per distinct lowercase \\w+
         -- token, hash = first 16 hex chars of md5 as uint64; per bit, set

@@ -1033,3 +1033,103 @@ def q_bloom_incremental_dedup(sf_dir: str, n_bits: int = 1 << 17,
         dup = np.zeros(len(ckeys), dtype=bool)
     out = cand.filter(pa.array(dup)).select(["doc_id"])
     return ray.data.from_arrow(out)
+
+
+def q_repo_overlap_pairs(sf_dir: str, gram_len: int = 5, min_shared: int = 3):
+    """Repo-granularity duplicate detection (vendored-directory / fork
+    screening — the north rule's "skewed mega-repos" concern at the REPO
+    level, BASELINE.json): pairs of repos sharing >= ``min_shared`` distinct
+    ``gram_len``-token substrings, scored by overlap = shared /
+    min(|grams_1|, |grams_2|). The ``documents`` table's ``source`` column
+    plays the repo key.
+
+    Distributed plan — fat text never shuffles:
+    1. per batch: token-window hashes per doc (the vectorized shingle
+       kernels) -> in-batch-distinct (gram_hash, repo_id) rows;
+    2. global distinct via a narrow groupby (a repo's grams recur across
+       blocks, so the combiner alone cannot finish the job);
+    3. the shared sort + segment-scan pair engine (``raw_band_pairs``)
+       emits one row per (gram, repo-pair) collision; groupby(pair).count
+       = shared-gram count;
+    4. per-repo distinct-gram totals are a tiny aggregate (one row per
+       repo) collected to the driver and broadcast for the overlap ratio
+       and the id -> name attach. CONTRACT: the repo dimension is small
+       relative to the corpus (names + totals fit the driver); at 10^8+
+       repos the name attach becomes a narrow join, the math is unchanged.
+    Repo ids are blake2b-64 of the name (order-free, cluster-stable);
+    output pair order is lexicographic by NAME to match the SQL oracle.
+    """
+    from nhse_probabilistic_linkage_ray.functions.hashing import hash_strings_u64
+    from nhse_probabilistic_linkage_ray.functions.shingle import (
+        shingle_hashes,
+        token_hashes_batch,
+    )
+    from nhse_probabilistic_linkage_ray.stages.candidates import raw_band_pairs
+
+    def grams(batch: pa.Table) -> pa.Table:
+        flat, offs = token_hashes_batch(batch["text"].to_pylist())
+        sh, so = shingle_hashes(flat, offs, gram_len)
+        rid = hash_strings_u64(batch["source"].to_pylist()).view(np.int64)
+        rep = np.repeat(rid, np.diff(so))
+        # in-batch distinct (combiner): cut the shuffle before the groupby
+        both = np.empty(len(sh), dtype=[("g", "<u8"), ("r", "<i8")])
+        both["g"], both["r"] = sh, rep
+        both = np.unique(both)
+        return pa.table({
+            "band_hash": pa.array(both["g"].view(np.int64), pa.int64()),
+            "file_id": pa.array(both["r"], pa.int64()),
+        })
+
+    distinct = _docs(sf_dir, ["text", "source"]) \
+        .map_batches(grams, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["band_hash", "file_id"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]) \
+        .map_batches(lambda t: t.append_column(
+            "band_idx", pa.array(np.zeros(len(t), np.int32), pa.int32())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-repo distinct-gram totals + id->name map (tiny by contract)
+    totals: dict = {}
+    for b in distinct.groupby("file_id").aggregate(Count(alias_name="n")) \
+            .iter_batches(batch_format="pyarrow"):
+        for i, n in zip(b["file_id"].to_pylist(), b["n"].to_pylist()):
+            totals[i] = n
+    import pyarrow.compute as pc
+
+    names: dict = {}
+    for b in _docs(sf_dir, ["source"]).iter_batches(batch_format="pyarrow"):
+        uniq = pc.unique(b["source"]).to_pylist()
+        ids = hash_strings_u64(uniq).view(np.int64)
+        names.update(zip(ids.tolist(), uniq))
+    sorted_ids = np.array(sorted(totals), dtype=np.int64)
+    n_arr = np.array([totals[i] for i in sorted_ids], dtype=np.int64)
+    name_arr = np.array([names[i] for i in sorted_ids], dtype=object)
+    ref = ray.put((sorted_ids, n_arr, name_arr))
+
+    shared = raw_band_pairs(distinct, max_band_group=1 << 30, max_pairs=1 << 62) \
+        .groupby(["left_id", "right_id"]).aggregate(Count(alias_name="shared"))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids, n_by, nm_by = ray.get(ref)
+        sh = batch["shared"].to_numpy(zero_copy_only=False)
+        keep = sh >= min_shared
+        l = batch["left_id"].to_numpy(zero_copy_only=False)[keep]
+        r = batch["right_id"].to_numpy(zero_copy_only=False)[keep]
+        sh = sh[keep]
+        il = np.searchsorted(ids, l)
+        ir = np.searchsorted(ids, r)
+        if len(l) and not ((ids[il] == l).all() and (ids[ir] == r).all()):
+            raise KeyError("repo id missing from broadcast totals")
+        ov = np.round(sh / np.minimum(n_by[il], n_by[ir]), 6)
+        nl, nr = nm_by[il], nm_by[ir]
+        swap = nl > nr
+        r1 = np.where(swap, nr, nl)
+        r2 = np.where(swap, nl, nr)
+        return pa.table({
+            "r1": pa.array(r1.tolist(), pa.string()),
+            "r2": pa.array(r2.tolist(), pa.string()),
+            "shared": pa.array(sh.astype(np.int64), pa.int64()),
+            "overlap": pa.array(ov, pa.float64()),
+        })
+
+    return shared.map_batches(attach, batch_format="pyarrow")

@@ -322,3 +322,43 @@ class TestAsofJoin:
         assert np.allclose(gp.fillna(-1), wp.fillna(-1))
         # the null (no preceding order) path must actually be exercised
         assert gk.isna().any()
+
+
+class TestRepoOverlap:
+    """q_repo_overlap_pairs vs a brute-force Python gram scan at sf0.001."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import re
+        from collections import defaultdict
+
+        from nhse_probabilistic_linkage_ray.pipelines.queries_dedup import (
+            q_repo_overlap_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_repo_overlap_pairs(sf, gram_len=3, min_shared=2).to_pandas() \
+            .sort_values(["r1", "r2"]).reset_index(drop=True)
+
+        import pandas as pd
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text", "source"])
+        tok = re.compile(r"\w+|[^\w\s]")
+        grams = defaultdict(set)
+        for text, src in zip(docs["text"], docs["source"]):
+            w = tok.findall(text or "")
+            grams[src].update(tuple(w[i:i + 3]) for i in range(len(w) - 2))
+        repos = sorted(grams)
+        rows = []
+        for i, a in enumerate(repos):
+            for b in repos[i + 1:]:
+                shared = len(grams[a] & grams[b])
+                if shared >= 2:
+                    rows.append((a, b, shared,
+                                 round(shared / min(len(grams[a]), len(grams[b])), 6)))
+        want = pd.DataFrame(rows, columns=["r1", "r2", "shared", "overlap"]) \
+            .sort_values(["r1", "r2"]).reset_index(drop=True)
+
+        assert len(want) > 0, "fixture must exercise the operator"
+        assert got[["r1", "r2", "shared"]].values.tolist() == \
+            want[["r1", "r2", "shared"]].values.tolist()
+        import numpy as np
+        assert np.allclose(got["overlap"], want["overlap"])
