@@ -510,11 +510,16 @@ def run_scaling() -> dict:
                     # gate (round-3 lesson: overloading GRAFT_CALM_RB_INRUN for
                     # both meant an ft-only validity config turned the watchdog
                     # into an unconditional killer). A sample marks collapse
-                    # when first-touch is HARD-collapsed (< GRAFT_WATCHDOG_FT,
-                    # the ~5-15 MB/s regime where runs inverse-scale) or
-                    # resident bandwidth itself fell below GRAFT_WATCHDOG_RB.
-                    # ft in the 15-30 MB/s gray zone rides out: the validity
-                    # gate, not the watchdog, adjudicates those runs.
+                    # only when BOTH channels are down: first-touch
+                    # HARD-collapsed (< GRAFT_WATCHDOG_FT, the ~5-15 MB/s
+                    # regime where runs inverse-scale) AND resident bandwidth
+                    # below GRAFT_WATCHDOG_RB. A warmed-up child lives on
+                    # resident reads, so healthy rb with throttled ft is a
+                    # run the validity gate will PASS (rb is decisive there)
+                    # — the watchdog must not kill it (it did: a 300k single
+                    # with rb med 8.4 GB/s died as "weather_collapse" on ft
+                    # alone). Traces without rb instrumentation fall back to
+                    # ft-only, matching the legacy behavior.
                     try:
                         tail = [json.loads(ln) for ln in
                                 open(trace_path).read().splitlines()[-8:]]
@@ -523,7 +528,7 @@ def run_scaling() -> dict:
                     wd_ft = float(os.environ.get("GRAFT_WATCHDOG_FT", "10"))
                     wd_rb = float(os.environ.get("GRAFT_WATCHDOG_RB", "1500"))
                     if len(tail) >= 8 and all(
-                            s["ft"] < wd_ft or s.get("rb", float("inf")) < wd_rb
+                            s["ft"] < wd_ft and s.get("rb", 0.0) < wd_rb
                             for s in tail):
                         aborted = "weather_collapse"
                 if aborted:
