@@ -179,6 +179,50 @@ REGISTRY: dict = {
                  AS top_bigram_frac
         FROM ln JOIN tok USING (doc_id) LEFT JOIN top USING (doc_id)
     """),
+    "bpe_token_counts": (qq.q_bpe_token_counts, """
+        -- BPE-ish pre-tokenizer segment count (GPT-2 pattern minus
+        -- lookahead; both engines run RE2 so counts are identical)
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT
+                 AS n_bpe_segments,
+               len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+                 AS n_ws_tokens,
+               round(CASE WHEN len(regexp_extract_all(coalesce(text, ''), '\\S+')) = 0
+                          THEN 0.0
+                          ELSE len(regexp_extract_all(coalesce(text, ''),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::DOUBLE
+                          / len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                     END, 6) AS segments_per_word
+        FROM documents
+    """),
+    "ngram_novelty": (qq.q_ngram_novelty, """
+        -- per doc: distinct word 8-grams, how many occur in >= 1 OTHER doc
+        -- (corpus doc-frequency >= 2), novelty = 1 - dup/total
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, CASE WHEN len(ws) >= 8 THEN
+                   list_distinct([array_to_string(ws[i:i+7], ' ')
+                                  FOR i IN generate_series(1, len(ws) - 7)])
+                 ELSE [] END AS grams
+          FROM tok
+        ),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        df AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+        dup AS (
+          SELECT e.doc_id, count(*) AS n_dup
+          FROM e JOIN df USING (gram) WHERE df.df >= 2 GROUP BY e.doc_id
+        )
+        SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+               coalesce(dup.n_dup, 0)::BIGINT AS n_dup_grams,
+               round(CASE WHEN len(g.grams) = 0 THEN 1.0
+                          ELSE 1.0 - coalesce(dup.n_dup, 0)::DOUBLE
+                               / len(g.grams) END, 6) AS novelty_frac
+        FROM g LEFT JOIN dup USING (doc_id)
+    """),
     "stratified_sample_per_lang": (qq.q_stratified_sample_per_lang, """
         SELECT lang, doc_id, rn FROM (
           SELECT lang, doc_id,

@@ -640,3 +640,109 @@ def q_shard_manifest(sf_dir: str, n_shards: int = 32):
             .groupby("shard_id")
             .aggregate(Sum("n_docs_part", alias_name="n_docs"),
                        Sum("n_chars_part", alias_name="n_chars")))
+
+
+def q_ngram_novelty(sf_dir: str, gram_len: int = 8):
+    """Per-document n-gram novelty (the corpus-level duplication analysis of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, how many of its distinct word
+    ``gram_len``-grams also occur in at least one OTHER document, and the
+    novelty fraction 1 - dup/total (empty docs are fully novel).
+
+    Plan — the line-dedup shape lifted to grams: pass 1 streams per-batch
+    gram-hash doc-frequency partials (``shingle_hashes`` is sorted-unique
+    per doc, so the flat stream counts DOCS per gram) through one narrow
+    groupby-sum; grams with df >= 2 come back as the duplicated-gram
+    vocabulary and broadcast (small BY CONTRACT — cross-document shared
+    grams are the boilerplate tail; above DUP_LINE_BROADCAST_LIMIT the
+    probe becomes a hash-partitioned join on gram hash, the scorer's
+    documented switch). Pass 2 re-streams the corpus and counts membership
+    per doc with one vectorized searchsorted + bincount. Fat text never
+    shuffles; no per-row Python."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, offs = word_hashes_column(batch["text"])
+        sh, _ = shingle_hashes(flat, offs, gram_len)
+        uniq, cnt = np.unique(sh, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    dup_parts = []
+    for b in docs.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("h").sum("n").iter_batches(batch_format="pyarrow"):
+        if len(b) == 0 or "h" not in b.column_names:
+            continue
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        dup_parts.append(b["h"].to_numpy(zero_copy_only=False)[n >= 2].view(_U64))
+    dup = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, _U64)
+    if len(dup) > DUP_LINE_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "duplicated-gram vocabulary exceeds the broadcast contract; "
+            "switch to the hash-partitioned join path")
+    dup_ref = ray.put(dup)
+
+    def novelty(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        flat, offs = word_hashes_column(batch["text"])
+        sh, so = shingle_hashes(flat, offs, gram_len)
+        counts = np.diff(so)
+        if len(dup) and len(sh):
+            idx = np.minimum(np.searchsorted(dup, sh), len(dup) - 1)
+            hit = dup[idx] == sh
+        else:
+            hit = np.zeros(len(sh), dtype=bool)
+        rows_idx = np.repeat(np.arange(len(counts)), counts)
+        n_dup = np.bincount(rows_idx, weights=hit,
+                            minlength=len(counts)).astype(np.int64)
+        frac = np.round(np.where(
+            counts > 0, 1.0 - np.divide(n_dup, counts,
+                                        out=np.zeros(len(counts)),
+                                        where=counts > 0), 1.0), 6)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(counts, pa.int64()),
+            "n_dup_grams": pa.array(n_dup, pa.int64()),
+            "novelty_frac": pa.array(frac, pa.float64()),
+        })
+
+    return docs.map_batches(novelty, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# GPT-2-style pre-tokenizer, restricted to RE2 (no lookahead — both Arrow
+# and DuckDB run RE2, so the two sides count the IDENTICAL segmentation):
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, then residual whitespace runs.
+BPE_SEGMENT_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                  r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+")
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Token-budget estimation per document with a BPE-ish pre-tokenizer
+    (the GPT-2 pattern minus its RE2-incompatible lookahead) next to the
+    plain whitespace count — the pair of numbers a training-data pipeline
+    uses to budget sequence packing and price a corpus in tokens.
+
+    Fully vectorized: one ``pc.count_substring_regex`` per column per batch
+    (zero-copy Arrow in, two int64 + one float64 column out); stateless
+    map_batches, streams at any scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        text = pc.fill_null(text, "")
+        n_seg = pc.count_substring_regex(text, BPE_SEGMENT_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.round(np.divide(n_seg, n_ws, out=np.zeros(len(n_seg)),
+                                   where=n_ws > 0), 6)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_bpe_segments": pa.array(n_seg, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, pa.int64()),
+            "segments_per_word": pa.array(ratio, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -301,3 +301,65 @@ class TestContamination(object):
         assert got[1]["n_grams"] == 3 and got[1]["overlap_frac"] == 1.0
         # doc 2 has < 8 tokens -> zero grams, zero overlap
         assert got[2]["n_grams"] == 0 and got[2]["overlap_frac"] == 0.0
+
+
+class TestNgramNovelty(object):
+    def test_matches_brute_force(self, docs_dir):
+        from collections import Counter
+
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            q_ngram_novelty,
+        )
+
+        L = 4
+        grams = {i: {tuple(_words(t)[j:j + L])
+                     for j in range(len(_words(t)) - L + 1)}
+                 for i, t in DOCS}
+        df = Counter(g for gs in grams.values() for g in gs)
+        expect = {}
+        for i, gs in grams.items():
+            n_dup = sum(1 for g in gs if df[g] >= 2)
+            frac = 1.0 if not gs else round(1.0 - n_dup / len(gs), 6)
+            expect[i] = (len(gs), n_dup, frac)
+
+        got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["novelty_frac"])
+               for r in q_ngram_novelty(docs_dir, gram_len=L).take_all()}
+        assert got == {k: (v[0], v[1], pytest.approx(v[2]))
+                       for k, v in expect.items()}
+        # doc 1 duplicates doc 0 exactly -> zero novelty; doc 4 empty -> 1.0
+        assert got[1][2] == 0.0 and got[0][2] == 0.0
+        assert got[4] == (0, 0, 1.0)
+
+
+class TestBpeTokenCounts(object):
+    def test_matches_python_re(self, tmp_path):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import (
+            BPE_SEGMENT_RE,
+            q_bpe_token_counts,
+        )
+
+        texts = [
+            "He said it's fine, we'll go — they've left!",
+            "x=42; print('hi')  # 3.14 isn't bad",
+            "",
+            "   ",
+            "word",
+            "CamelCase under_score kebab-case 100x 2nd",
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            tmp_path / "documents.parquet")
+
+        seg = re.compile(BPE_SEGMENT_RE)
+        ws = re.compile(r"\S+")
+        got = {r["doc_id"]: r for r in q_bpe_token_counts(str(tmp_path)).take_all()}
+        for i, t in enumerate(texts):
+            n_seg = len(seg.findall(t))
+            n_ws = len(ws.findall(t))
+            assert got[i]["n_bpe_segments"] == n_seg, (i, t)
+            assert got[i]["n_ws_tokens"] == n_ws
+            want = round(n_seg / n_ws, 6) if n_ws else 0.0
+            assert got[i]["segments_per_word"] == pytest.approx(want)
+        # contractions split off: "it's" -> " it" + "'s" = 2 segments
+        assert got[0]["n_bpe_segments"] > got[0]["n_ws_tokens"]
