@@ -121,3 +121,99 @@ def fingerprint_rolling(texts: list, window: int = 64) -> np.ndarray:
         # min hash per stride-block, XOR-combined: stable to local edits
         out[i] = np.bitwise_xor.reduce(np.minimum.reduceat(h, np.arange(0, len(h), window)))
     return out
+
+
+# --------------------------------------------------------------------------
+# Vectorized Arrow column twins of the scalar kernels above. One RE2 split /
+# count per batch + numpy segment reductions — no per-row Python. ASCII
+# CONTRACT: RE2 classes \w/\W are ASCII, the scalar kernels' re.U classes
+# are Unicode; on ASCII text the two agree exactly (the equivalence is
+# pinned by tests), on non-ASCII word characters they diverge — same caveat
+# as word_hashes_column (ADVICE r2).
+
+def _word_fragments(col):
+    """Split an Arrow string column on non-word runs -> (flat fragments,
+    row offsets, fragment byte lengths, valid mask). Every row yields >= 1
+    fragment (splitting "" gives [""]) so reduceat offsets are safe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    text = pc.fill_null(col, "")
+    lists = pc.split_pattern_regex(text, pattern=r"[\W\d_]+")
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    offs = offs - offs[0]  # sliced batches
+    flat = lists.flatten()
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    return text, flat, offs, wlen, wlen > 0
+
+
+def quality_scores_column(col) -> dict:
+    """Vectorized ``quality_scores``: length, mean word length, punctuation
+    ratio, EN-stopword ratio, alpha ratio — Arrow kernels + reduceat."""
+    import pyarrow.compute as pc
+
+    text, flat, offs, wlen, valid = _word_fragments(col)
+    n = len(text)
+    if n == 0:
+        z = np.zeros(0)
+        return {"length": np.zeros(0, np.int64), "mean_word_len": z,
+                "punct_ratio": z, "stop_ratio": z, "alpha_ratio": z}
+    length = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words = np.add.reduceat(valid.astype(np.int64), offs[:-1])
+    n_alpha = np.add.reduceat(np.where(valid, wlen, 0), offs[:-1])
+    # stopword hits: hash only the (small) batch vocabulary
+    enc = pc.utf8_lower(flat).dictionary_encode()
+    dvals = enc.dictionary.to_pylist()
+    dstop = np.fromiter((v in _EN_STOP for v in dvals), bool, count=len(dvals))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_stop = np.add.reduceat((dstop[idx] & valid).astype(np.int64), offs[:-1])
+    fl = length.astype(np.float64)
+    return {
+        "length": length,
+        "mean_word_len": np.divide(n_alpha, n_words,
+                                   out=np.zeros(n), where=n_words > 0),
+        "punct_ratio": np.divide(n_punct, fl, out=np.zeros(n), where=length > 0),
+        "stop_ratio": np.divide(n_stop, n_words,
+                                out=np.zeros(n), where=n_words > 0),
+        "alpha_ratio": np.divide(n_alpha, fl, out=np.zeros(n), where=length > 0),
+    }
+
+
+def language_id_column(col) -> list:
+    """Vectorized ``language_id``: per-row DISTINCT lowered words (first
+    4000 chars) voted against the stopword profiles; ties break in profile
+    order (en, de, fr, es, it), zero score -> 'unknown' — byte-identical to
+    the scalar kernel on ASCII text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    head = pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, 4000)
+    _, flat, offs, wlen, valid = _word_fragments(head)
+    n = len(head)
+    if n == 0:
+        return []
+    enc = pc.utf8_lower(flat).dictionary_encode()
+    dvals = enc.dictionary.to_pylist()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = max(len(dvals), 1)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    key = np.unique(row_of[valid] * d + idx[valid])  # distinct (row, word)
+    rows, dids = key // d, key % d
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        prof = _LANG_PROFILES[lang]
+        dmask = np.fromiter((v in prof for v in dvals), bool, count=len(dvals))
+        hits = dmask[dids]
+        scores[:, j] = np.bincount(rows[hits], minlength=n)
+    best = np.argmax(scores, axis=1)  # first max == profile order ties
+    best_score = scores[np.arange(n), best]
+    out = np.array(langs, dtype=object)[best]
+    out[best_score == 0] = "unknown"
+    return out.tolist()

@@ -73,10 +73,14 @@ def q_exact_cluster_size_histogram(sf_dir: str):
 # ------------------------------------------------------------- text analysis
 
 def q_token_counts(sf_dir: str):
-    """Whitespace token counting per document."""
+    """Whitespace token counting per document — one vectorized RE2 count
+    kernel per batch (the scalar ``textstats.token_count_ws`` twin)."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = textstats.token_count_ws(batch["text"].to_pylist())
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        n = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
             "n_tokens": pa.array(n, pa.int64()),
@@ -87,16 +91,18 @@ def q_token_counts(sf_dir: str):
 
 def q_doc_normalize(sf_dir: str):
     """Whitespace-collapse + lowercase normalization (M4/M7 analogs, ref
-    standardise_white_space /root/reference/utils/preprocessing_utils.py:307-371)."""
-    import re
-
-    ws = re.compile(r"\s+")
+    standardise_white_space /root/reference/utils/preprocessing_utils.py:307-371).
+    Fully vectorized Arrow RE2 kernels — after the \\s+ collapse only plain
+    spaces can remain at the edges, so trim == trim_whitespace."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = [ws.sub(" ", (t or "")).strip().lower() for t in batch["text"].to_pylist()]
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        out = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(text, pattern=r"\s+", replacement=" ")))
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
-            "norm_text": pa.array(out, pa.string()),
+            "norm_text": out,
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -115,7 +121,7 @@ def q_quality_scores(sf_dir: str):
     DuckDB oracle (regexp_extract_all + list kernels)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        s = textstats.quality_scores(batch["text"].to_pylist())
+        s = textstats.quality_scores_column(batch["text"])
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
             "length": pa.array(s["length"], pa.int64()),
@@ -134,7 +140,7 @@ def q_lang_id(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks(),
-            "lang_pred": pa.array(textstats.language_id(batch["text"].to_pylist()), pa.string()),
+            "lang_pred": pa.array(textstats.language_id_column(batch["text"]), pa.string()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -363,3 +363,54 @@ class TestBpeTokenCounts(object):
             assert got[i]["segments_per_word"] == pytest.approx(want)
         # contractions split off: "it's" -> " it" + "'s" = 2 segments
         assert got[0]["n_bpe_segments"] > got[0]["n_ws_tokens"]
+
+
+class TestVectorizedTextstatsTwins(object):
+    """The Arrow column kernels must equal the scalar re.U kernels on ASCII
+    text (the documented contract; they diverge on non-ASCII word chars)."""
+
+    TEXTS = [
+        "The quick brown fox, it is FAST!",
+        "",
+        "   ",
+        "der und die das ist von mit nicht",
+        "le la les et des est une dans que pour",
+        "x=42; __private_var = f(a_b, 3.14)",
+        "a",
+        "!!! ??? ...",
+        "the the the and and of",
+        "word " * 500,  # long doc
+    ]
+
+    def test_quality_scores_equal(self):
+        from nhse_probabilistic_linkage_ray.functions.textstats import (
+            quality_scores,
+            quality_scores_column,
+        )
+
+        want = quality_scores(self.TEXTS)
+        got = quality_scores_column(pa.array(self.TEXTS, pa.string()))
+        for k in want:
+            assert np.allclose(got[k], want[k]), k
+
+    def test_language_id_equal(self):
+        from nhse_probabilistic_linkage_ray.functions.textstats import (
+            language_id,
+            language_id_column,
+        )
+
+        assert language_id_column(pa.array(self.TEXTS, pa.string())) == \
+            language_id(self.TEXTS)
+
+    def test_sliced_chunked_input(self):
+        from nhse_probabilistic_linkage_ray.functions.textstats import (
+            quality_scores,
+            quality_scores_column,
+        )
+
+        arr = pa.chunked_array([self.TEXTS[:4], self.TEXTS[4:]])
+        sl = pa.table({"t": arr}).slice(2, 6)["t"]
+        want = quality_scores(self.TEXTS[2:8])
+        got = quality_scores_column(sl)
+        for k in want:
+            assert np.allclose(got[k], want[k]), k
