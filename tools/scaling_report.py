@@ -27,9 +27,9 @@ def _med(vals):
 
 
 def render_singles(recs: list[dict]) -> str:
-    out = ["| # | side (CPUs) | sec | files/s | steal | ft_in_run (med/min) "
-           "| rb_in_run (med/min) | valid |",
-           "|---|---|---|---|---|---|---|---|"]
+    out = ["| # | side (CPUs) | sec | files/s | probe it/s | steal "
+           "| ft_in_run (med/min) | rb_in_run (med/min) | valid |",
+           "|---|---|---|---|---|---|---|---|---|"]
     for i, r in enumerate(recs, 1):
         f = r.get("ft_in_run")
         ft = f"{f['med']:.0f}/{f['min']:.0f} MB/s" if f else "-"
@@ -38,21 +38,37 @@ def render_singles(recs: list[dict]) -> str:
         sec = f"{r['sec']:.1f}" if r.get("sec") else f"({r.get('aborted')})"
         fps = f"{r['files_per_sec']:.0f}" if r.get("files_per_sec") else "-"
         st = f"{r['steal_frac']:.1%}" if r.get("steal_frac") is not None else "-"
-        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {st} | {ft} | {rb} "
+        pr = f"{r['probe_iters']:.0f}" if r.get("probe_iters") else "-"
+        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {pr} | {st} | {ft} | {rb} "
                    f"| {'**yes**' if r.get('valid') else 'no'} |")
     sides = sorted({r["side"] for r in recs})
     if len(sides) == 2:
         lo, hi = sides
         lo_s = sorted(r["sec"] for r in recs if r["side"] == lo and r.get("valid"))
         hi_s = sorted(r["sec"] for r in recs if r["side"] == hi and r.get("valid"))
+        lo_p = sorted(r["probe_iters"] for r in recs
+                      if r["side"] == lo and r.get("valid") and r.get("probe_iters"))
+        hi_p = sorted(r["probe_iters"] for r in recs
+                      if r["side"] == hi and r.get("valid") and r.get("probe_iters"))
         if lo_s and hi_s:
             m_lo, m_hi = _med(lo_s), _med(hi_s)
+            eff = m_lo / ((hi / lo) * m_hi)
             out.append("")
             out.append(
                 f"Valid singles: {len(lo_s)}x{lo}-CPU (median {m_lo:.1f}s), "
                 f"{len(hi_s)}x{hi}-CPU (median {m_hi:.1f}s). Pooled raw "
                 f"efficiency = {m_lo:.1f} / ({hi // lo} x {m_hi:.1f}) = "
-                f"**{m_lo / ((hi / lo) * m_hi):.3f}**.")
+                f"**{eff:.3f}**.")
+            if lo_p and hi_p:
+                # hw ceiling: the raw-compute speedup the host granted the
+                # pinned probe around the valid runs; pipeline speedup / hw
+                # speedup separates pipeline scaling from hypervisor steal
+                hw = _med(hi_p) / _med(lo_p)
+                out.append(
+                    f"HW probe medians: {_med(lo_p):.0f} -> {_med(hi_p):.0f} "
+                    f"it/s (ceiling {hw:.2f}x of ideal {hi // lo}x); "
+                    f"hw-normalized pooled efficiency = "
+                    f"**{(m_lo / m_hi) / hw:.3f}**.")
     return "\n".join(out)
 
 
