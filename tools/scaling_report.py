@@ -69,6 +69,29 @@ def render_singles(recs: list[dict]) -> str:
                     f"it/s (ceiling {hw:.2f}x of ideal {hi // lo}x); "
                     f"hw-normalized pooled efficiency = "
                     f"**{(m_lo / m_hi) / hw:.3f}**.")
+        # STRICT subset: rb-decisive validity admits runs whose first-touch
+        # was throttled, and those are NOT mutually comparable (two rb-valid
+        # 8-CPU runs on identical input measured 452.7s at ft med 30 vs
+        # 1079.6s at ft med 10 — provisioning-starved windows punish the
+        # allocation-heavy score stage superlinearly). The like-for-like
+        # reading pools only singles whose in-run ft median also cleared
+        # the calm threshold.
+        def _strict(r):
+            f = r.get("ft_in_run")
+            return r.get("valid") and f and f["med"] >= 30.0
+
+        s_lo = sorted(r["sec"] for r in recs if r["side"] == lo and _strict(r))
+        s_hi = sorted(r["sec"] for r in recs if r["side"] == hi and _strict(r))
+        if s_lo and s_hi:
+            sm_lo, sm_hi = _med(s_lo), _med(s_hi)
+            out.append(
+                f"STRICT (ft med >= 30 MB/s in-run) singles: {len(s_lo)}x{lo}, "
+                f"{len(s_hi)}x{hi}; pooled raw efficiency = {sm_lo:.1f} / "
+                f"({hi // lo} x {sm_hi:.1f}) = **{sm_lo / ((hi / lo) * sm_hi):.3f}**.")
+        elif lo_s and hi_s:
+            out.append(
+                f"STRICT (ft med >= 30 MB/s in-run) subset empty on "
+                f"{'lo' if not s_lo else 'hi'} side so far.")
     return "\n".join(out)
 
 
