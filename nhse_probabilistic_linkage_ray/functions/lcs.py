@@ -88,9 +88,30 @@ def _shares_gram(pa_: np.ndarray, pb: np.ndarray, qa: np.ndarray, qb: np.ndarray
     return np.intersect1d(ca, cb).size > 0
 
 
-def lcs_length(a: np.ndarray, b: np.ndarray) -> int:
+def multiset_overlap(a: np.ndarray, b: np.ndarray) -> int:
+    """Size of the token MULTISET intersection — a cheap, always-valid upper
+    bound on ``lcs_length``: a common substring of length L consumes L tokens
+    (with multiplicity) present in both sequences. Unlike a distinct-shingle
+    bound it is exact under periodic content (``aaaa…`` shares one distinct
+    shingle but has an unbounded LCS). ~4 numpy calls vs the ~80 of a full
+    binary-search LCS — the prefilter that keeps the scorer's near-miss
+    rescue loop linear in pairs that can actually clear the threshold."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    ua, ca = np.unique(a, return_counts=True)
+    ub, cb = np.unique(b, return_counts=True)
+    common, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                                    return_indices=True)
+    if common.size == 0:
+        return 0
+    return int(np.minimum(ca[ia], cb[ib]).sum())
+
+
+def lcs_length(a: np.ndarray, b: np.ndarray, hi_cap: int | None = None) -> int:
     """Length (in tokens) of the longest common substring of two uint64
-    token-hash sequences."""
+    token-hash sequences. ``hi_cap``: optional known upper bound (e.g.
+    ``multiset_overlap``) that shrinks the binary-search range — the result
+    is exact for any valid bound."""
     n, m = len(a), len(b)
     if n == 0 or m == 0:
         return 0
@@ -99,6 +120,8 @@ def lcs_length(a: np.ndarray, b: np.ndarray) -> int:
     pa2 = _prefix_hashes(a, _B2, _P2)
     pb2 = _prefix_hashes(b, _B2, _P2)
     lo, hi = 0, min(n, m)  # invariant: length lo always achievable
+    if hi_cap is not None:
+        hi = min(hi, int(hi_cap))
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if _shares_gram(pa1, pb1, pa2, pb2, mid):

@@ -93,7 +93,7 @@ def dedupe_dataset(
     # up — the pool and the pair-generation shuffle must not contend for CPUs
     pairs = ensure_blocks(candidate_pairs(sigs, config).materialize(), cluster_cpus())
     n_pairs = pairs.count()
-    mark("candidates")
+    mark(f"candidates (rows={n_rows} pairs={n_pairs})")
     scored = score_stage(pairs, sigs, config, signature_rows=sigs.count(),
                          pairs_hint=n_pairs).materialize()
     mark("score")

@@ -37,7 +37,10 @@ import ray.data
 
 from nhse_probabilistic_linkage_ray.config import GAMMA_ELSE, GAMMA_JACCARD_HI, GAMMA_JACCARD_LO, GAMMA_RESCUED, PipelineConfig, TIER_NAMES
 from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_flat
-from nhse_probabilistic_linkage_ray.functions.lcs import lcs_fraction
+from nhse_probabilistic_linkage_ray.functions.lcs import (lcs_fraction, lcs_length,
+                                                multiset_overlap)
+
+_SCORE_DEBUG = bool(__import__("os").environ.get("GRAFT_SCORE_DEBUG"))
 from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
 
 # Broadcast/join switch. The broadcast path's real constraint is BYTES, not
@@ -368,12 +371,37 @@ def _score_from_flat(
         rf, ro = _subset_ragged(shRf, shRo, sel)
         jac[sel] = jaccard_flat(lf, lo, rf, ro)
 
-    # LCS rescue only for near-misses that fail both Jaccard and SimHash
-    # (per-pair: LCS is a true dynamic program; the near-miss set is small)
+    # LCS rescue only for near-misses that fail both Jaccard and SimHash.
+    # The per-pair binary-search kernel costs ~80 numpy calls; under heavy
+    # template similarity (large corpora put many borderline est>=rescue_low
+    # pairs here) that loop dominated the whole score stage. The token
+    # MULTISET overlap is an always-valid upper bound on lcs_length (see
+    # functions/lcs.py:multiset_overlap), so pairs whose bound cannot reach
+    # lcs_frac_threshold are skipped at ~4 numpy calls — decision-identical:
+    # gamma only consumes lcs >= threshold, and skipped pairs are provably
+    # below it. The exported lcs_frac column is exact at/above the decision
+    # boundary and 0.0 where provably below.
     lcs = np.zeros(n, dtype=np.float64)
     need_lcs = need_exact & (jac < cfg.jaccard_threshold) & (ham > cfg.simhash_hamming_max)
+    n_lcs_run = 0
+    thr = cfg.lcs_frac_threshold
     for i in np.flatnonzero(need_lcs):
-        lcs[i] = lcs_fraction(thLf[thLo[i]:thLo[i + 1]], thRf[thRo[i]:thRo[i + 1]])
+        a = thLf[thLo[i]:thLo[i + 1]]
+        b = thRf[thRo[i]:thRo[i + 1]]
+        mn = min(len(a), len(b))
+        if mn == 0:
+            continue
+        ub = multiset_overlap(a, b)
+        if ub < thr * mn:
+            continue
+        n_lcs_run += 1
+        lcs[i] = lcs_length(a, b, hi_cap=ub) / mn
+    if _SCORE_DEBUG:
+        import sys as _sys
+
+        print(f"[score] n={n} need_exact={int(need_exact.sum())} "
+              f"need_lcs={int(need_lcs.sum())} lcs_run={n_lcs_run}",
+              file=_sys.stderr, flush=True)
 
     gamma, w, prob, tier = _score_arrays(cfg, est, jac, ham, lcs)
 

@@ -15,7 +15,8 @@ from nhse_probabilistic_linkage_ray.functions.hashing import (
     stable_bucket,
 )
 from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_sorted
-from nhse_probabilistic_linkage_ray.functions.lcs import lcs_fraction, lcs_length
+from nhse_probabilistic_linkage_ray.functions.lcs import (lcs_fraction, lcs_length,
+                                                multiset_overlap)
 from nhse_probabilistic_linkage_ray.functions.minhash import EMPTY_SLOT, MinHasher, estimate_jaccard
 from nhse_probabilistic_linkage_ray.functions.normalize import (
     lang_from_path,
@@ -234,6 +235,47 @@ class TestLCS:
             a = rng.integers(0, 5, size=rng.integers(1, 40)).astype(np.uint64)
             b = rng.integers(0, 5, size=rng.integers(1, 40)).astype(np.uint64)
             assert lcs_length(a, b) == brute(a.tolist(), b.tolist())
+
+
+class TestMultisetOverlapBound:
+    """multiset_overlap is the scorer's LCS prefilter: it must be an upper
+    bound on lcs_length ALWAYS (skipping a pair that could clear the rescue
+    threshold would silently drop duplicates), and lcs_length(hi_cap=bound)
+    must stay exact."""
+
+    def test_upper_bound_property_random(self):
+        rng = np.random.default_rng(1234)
+        for _ in range(400):
+            a = rng.integers(0, 10, size=rng.integers(0, 50), dtype=np.uint64)
+            b = rng.integers(0, 10, size=rng.integers(0, 50), dtype=np.uint64)
+            true_len = lcs_length(a, b)
+            ub = multiset_overlap(a, b)
+            assert true_len <= ub
+            assert lcs_length(a, b, hi_cap=ub) == true_len
+
+    def test_periodic_content(self):
+        # the case a distinct-shingle bound gets WRONG: one distinct token,
+        # unbounded LCS — the multiset bound stays valid (and tight)
+        a = np.full(100, 7, dtype=np.uint64)
+        b = np.full(40, 7, dtype=np.uint64)
+        assert multiset_overlap(a, b) == 40
+        assert lcs_length(a, b, hi_cap=40) == 40
+        assert lcs_fraction(a, b) == 1.0
+
+    def test_disjoint_and_empty(self):
+        a = np.array([1, 2, 3], dtype=np.uint64)
+        b = np.array([4, 5], dtype=np.uint64)
+        assert multiset_overlap(a, b) == 0
+        assert multiset_overlap(a, np.empty(0, np.uint64)) == 0
+
+    def test_tightness_on_permutation(self):
+        # a permutation shares the full multiset but may have a short LCS —
+        # the bound is loose here by design (it only needs to be an upper
+        # bound; the DP still runs when the bound clears the threshold)
+        a = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.uint64)
+        b = a[::-1].copy()
+        assert multiset_overlap(a, b) == 8
+        assert lcs_length(a, b) == 1
 
 
 class TestFlatRaggedHelpers:
