@@ -249,11 +249,19 @@ def run_bench() -> dict:
     # number is comparable across rounds; if none arrives, run anyway and
     # stamp degraded=true so the reader knows the number is a steal artifact.
     health_pre = wait_for_calm(float(os.environ.get("GRAFT_CALM_WAIT_SEC", "900")))
-    # Cap the object store: the default (30% of 128 GB) maps ~39 GB of tmpfs
-    # whose pages fault against the host's provisioning weather mid-run. The
-    # headline workload peaks far below 8 GB of live objects; a small store
-    # can be pre-faulted below so the timed window touches NO fresh pages.
-    obj_gb = float(os.environ.get("GRAFT_OBJ_STORE_GB", "8"))
+    # Size the object store to the corpus: the Ray default (30% of 128 GB)
+    # maps ~39 GB of tmpfs whose pages fault against the host's provisioning
+    # weather mid-run, while a store SMALLER than the live working set forces
+    # disk spilling — a round-3 scaling run at nbase=300000 (525k files) with
+    # the old fixed 8 GB cap spilled 7.3 GiB per run to /dev/vda, and that
+    # disk-bound component doesn't scale with CPUs (healthy-window raw
+    # efficiency collapsed to ~0.44 from spill alone). Default: the measured
+    # headline floor (8 GB covers nbase <= ~90k) grown linearly with the
+    # corpus, so the pipeline streams through plasma without touching disk;
+    # the untimed full-corpus warm-up run faults the pages so the timed
+    # window still reuses resident memory. GRAFT_OBJ_STORE_GB overrides.
+    auto_gb = max(8.0, min(48.0, N_BASE / 300_000 * 28.0))
+    obj_gb = float(os.environ.get("GRAFT_OBJ_STORE_GB", str(auto_gb)))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=int(obj_gb * (1 << 30)))
@@ -396,6 +404,56 @@ def _probe_worker(stop_ns: float, q) -> None:
         _np.bitwise_xor(x, x >> _np.uint64(31), out=x)
         iters += 1
     q.put(iters)
+
+
+def _bw_probe_worker(stop_ns, q):
+    import time as _t
+
+    import numpy as _np
+
+    # 256 MB resident buffer: fault once (untimed), then stream-sum until
+    # stop — measures the memory bandwidth the host grants THIS pinned set,
+    # the resource the pipeline's scan/gather/shuffle stages live on.
+    x = _np.ones((256 << 20) >> 3, dtype=_np.float64)
+    float(x.sum())  # fault + warm
+    passes = 0
+    t0 = _t.perf_counter_ns()
+    while True:
+        float(x.sum())
+        passes += 1
+        # always >= 1 timed pass: on a provisioning-collapsed host the fault
+        # above can outlive the window, and 0 passes would read as 0 MB/s
+        if _t.perf_counter_ns() >= stop_ns:
+            break
+    dt = (_t.perf_counter_ns() - t0) / 1e9
+    q.put(passes * 256.0 / max(dt, 1e-9))
+
+
+def run_bw_probe(n_procs: int, seconds: float = 3.0) -> dict:
+    """Aggregate memory-bandwidth probe: n pinned processes each stream-
+    summing a resident 256 MB buffer. The compute probe (run_probe) measures
+    the CPU grant; THIS measures the memory-bus grant — on a single shared
+    host both pinned sets (2 and 8 CPUs) draw from ONE memory controller, so
+    a bandwidth-bound stage cannot scale past bw(hi)/bw(lo) no matter how
+    well it parallelizes, while on a real N -> 4N node cluster the bus count
+    scales with nodes. bw(hi)/bw(lo) is therefore the hardware ceiling for
+    the pipeline's bandwidth-bound stages (ingest scan, score ragged
+    gathers), as iters(hi)/iters(lo) is for its compute-bound ones
+    (MinHash, band hashing)."""
+    import multiprocessing as mp
+    import time as _t
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    stop = _t.perf_counter_ns() + int(seconds * 1e9)
+    procs = [ctx.Process(target=_bw_probe_worker, args=(stop, q))
+             for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return {"n_procs": n_procs, "mb_per_sec": round(total, 1)}
 
 
 def run_probe(n_procs: int, seconds: float = 3.0) -> dict:
@@ -583,6 +641,14 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])["iters_per_sec"]
 
+    def bw_probe(ncpu: int) -> float:
+        cmd = pin([sys.executable, os.path.abspath(__file__),
+                   "--bw-probe", str(ncpu)], ncpu)
+        out = subprocess.run(cmd, env=dict(os.environ), capture_output=True,
+                             text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])["mb_per_sec"]
+
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
@@ -603,7 +669,10 @@ def run_scaling() -> dict:
     # under different validity configs must never be pooled silently
     gate_cfg = {"ft_inrun_min": ft_inrun_min, "rb_inrun_min": rb_inrun_min,
                 "calm_ft": CALM_FT, "calm_rb": CALM_RB, "calm_cpu": CALM_CPU,
-                "nbase": int(nbase)}
+                "nbase": int(nbase),
+                "obj_store_gb": float(os.environ.get(
+                    "GRAFT_OBJ_STORE_GB",
+                    str(max(8.0, min(48.0, int(nbase) / 300_000 * 28.0)))))}
 
     def ft_ok(r: dict) -> bool:
         # in-run weather validity: resident bandwidth (rb) is decisive —
@@ -647,12 +716,14 @@ def run_scaling() -> dict:
             # window, more likely to land inside a calm burst)
             side = hi if vhi_n <= vlo_n else lo
             p = probe(side)
+            pbw = bw_probe(side)
             r = run(side)
             ok = (not r.get("aborted") and r.get("steal_frac") is not None
                   and r["steal_frac"] < 0.03 and ft_ok(r))
             rec = {"side": side, "sec": r.get("value"),
                    "files_per_sec": r.get("files_per_sec"),
-                   "probe_iters": p, "steal_frac": r.get("steal_frac"),
+                   "probe_iters": p, "probe_bw_mb_s": pbw,
+                   "steal_frac": r.get("steal_frac"),
                    "ft_in_run": r.get("ft_in_run"),
                    "rb_in_run": r.get("rb_in_run"), "aborted": r.get("aborted"),
                    "host_health_pre": pre, "valid": ok, "gate_cfg": gate_cfg}
@@ -673,10 +744,16 @@ def run_scaling() -> dict:
         hi_secs = [s["sec"] for s in singles if s["side"] == hi and s["valid"]]
         lo_prob = [s["probe_iters"] for s in singles if s["side"] == lo and s["valid"]]
         hi_prob = [s["probe_iters"] for s in singles if s["side"] == hi and s["valid"]]
+        lo_bw = [s["probe_bw_mb_s"] for s in singles
+                 if s["side"] == lo and s["valid"] and s.get("probe_bw_mb_s")]
+        hi_bw = [s["probe_bw_mb_s"] for s in singles
+                 if s["side"] == hi and s["valid"] and s.get("probe_bw_mb_s")]
         m_lo, m_hi = _med(lo_secs), _med(hi_secs)
         eff = round(m_lo / ((hi / lo) * m_hi), 3) if m_lo and m_hi else None
         hw_speedup = (round(_med(hi_prob) / _med(lo_prob), 3)
                       if lo_prob and hi_prob else None)
+        bw_speedup = (round(_med(hi_bw) / _med(lo_bw), 3)
+                      if lo_bw and hi_bw else None)
         return {
             "metric": f"pooled scaling efficiency ({lo} -> {hi} CPUs, "
                       "independently valid singles)",
@@ -688,6 +765,9 @@ def run_scaling() -> dict:
             "hw_probe_speedup_medians": hw_speedup,
             "pooled_efficiency_vs_hw": (round((m_lo / m_hi) / hw_speedup, 3)
                                         if eff and hw_speedup else None),
+            "bw_probe_speedup_medians": bw_speedup,
+            "pooled_efficiency_vs_bw": (round((m_lo / m_hi) / bw_speedup, 3)
+                                        if eff and bw_speedup else None),
             "runs": singles,
         }
 
@@ -832,6 +912,9 @@ if __name__ == "__main__":
     if "--probe" in sys.argv:
         n = int(sys.argv[sys.argv.index("--probe") + 1])
         print(json.dumps(run_probe(n)))
+    elif "--bw-probe" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--bw-probe") + 1])
+        print(json.dumps(run_bw_probe(n)))
     elif "--weather-sampler" in sys.argv:
         run_weather_sampler(sys.argv[sys.argv.index("--weather-sampler") + 1])
     elif "--scaling" in sys.argv:

@@ -27,9 +27,9 @@ def _med(vals):
 
 
 def render_singles(recs: list[dict]) -> str:
-    out = ["| # | side (CPUs) | sec | files/s | probe it/s | steal "
+    out = ["| # | side (CPUs) | sec | files/s | probe it/s | probe bw MB/s | steal "
            "| ft_in_run (med/min) | rb_in_run (med/min) | valid |",
-           "|---|---|---|---|---|---|---|---|---|"]
+           "|---|---|---|---|---|---|---|---|---|---|"]
     for i, r in enumerate(recs, 1):
         f = r.get("ft_in_run")
         ft = f"{f['med']:.0f}/{f['min']:.0f} MB/s" if f else "-"
@@ -39,7 +39,8 @@ def render_singles(recs: list[dict]) -> str:
         fps = f"{r['files_per_sec']:.0f}" if r.get("files_per_sec") else "-"
         st = f"{r['steal_frac']:.1%}" if r.get("steal_frac") is not None else "-"
         pr = f"{r['probe_iters']:.0f}" if r.get("probe_iters") else "-"
-        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {pr} | {st} | {ft} | {rb} "
+        bw = f"{r['probe_bw_mb_s']:.0f}" if r.get("probe_bw_mb_s") else "-"
+        out.append(f"| {i} | {r['side']} | {sec} | {fps} | {pr} | {bw} | {st} | {ft} | {rb} "
                    f"| {'**yes**' if r.get('valid') else 'no'} |")
     sides = sorted({r["side"] for r in recs})
     if len(sides) == 2:
@@ -59,6 +60,20 @@ def render_singles(recs: list[dict]) -> str:
                 f"{len(hi_s)}x{hi}-CPU (median {m_hi:.1f}s). Pooled raw "
                 f"efficiency = {m_lo:.1f} / ({hi // lo} x {m_hi:.1f}) = "
                 f"**{eff:.3f}**.")
+            lo_b = sorted(r["probe_bw_mb_s"] for r in recs
+                          if r["side"] == lo and r.get("valid") and r.get("probe_bw_mb_s"))
+            hi_b = sorted(r["probe_bw_mb_s"] for r in recs
+                          if r["side"] == hi and r.get("valid") and r.get("probe_bw_mb_s"))
+            if lo_b and hi_b:
+                # one shared memory controller serves both pinned sets, so
+                # bw(hi)/bw(lo) is the hardware ceiling for bandwidth-bound
+                # stages (a real N->4N cluster scales the bus count with N)
+                bwc = _med(hi_b) / _med(lo_b)
+                out.append(
+                    f"Memory-bandwidth probe medians: {_med(lo_b):.0f} -> "
+                    f"{_med(hi_b):.0f} MB/s (bus ceiling {bwc:.2f}x of ideal "
+                    f"{hi // lo}x); bw-normalized pooled efficiency = "
+                    f"**{(m_lo / m_hi) / bwc:.3f}**.")
             if lo_p and hi_p:
                 # hw ceiling: the raw-compute speedup the host granted the
                 # pinned probe around the valid runs; pipeline speedup / hw
