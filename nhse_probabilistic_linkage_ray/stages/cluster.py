@@ -129,7 +129,16 @@ def _small_star(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.groupby("u").map_groups(_small_star_group, batch_format="numpy")
 
 
-DRIVER_CC_EDGE_LIMIT = 2_000_000
+# Driver/distributed CC switch, in RAW edges (env-overridable). The driver
+# path pulls only (u, v) int64 pairs (16 B/edge — 128 MB at the 8M default),
+# np.unique-dedups them in C, and union-finds the DISTINCT edges (a few
+# seconds); the distributed large/small-star path costs several sort+groupby
+# barriers per iteration — measured 104.8-189.8 s at 2.3M raw edges (525k
+# files, 8 pinned CPUs, calm window) where the driver path runs in ~5 s, a
+# ~30x cliff. The switch exists for true scale (node-memory bound), so set
+# it as high as one driver's memory honestly allows, not lower.
+DRIVER_CC_EDGE_LIMIT = int(__import__("os").environ.get(
+    "GRAFT_DRIVER_CC_EDGES", str(8_000_000)))
 
 
 def connected_components(
