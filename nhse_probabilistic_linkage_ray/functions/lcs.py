@@ -131,6 +131,60 @@ def lcs_length(a: np.ndarray, b: np.ndarray, hi_cap: int | None = None) -> int:
     return lo
 
 
+def prefix_pair(x: np.ndarray) -> tuple:
+    """Both independent prefix-hash arrays for one token sequence — the
+    cacheable per-side half of an LCS evaluation (the same file appears in
+    many candidate pairs; the scorer caches these by file id per batch)."""
+    return _prefix_hashes(x, _B1, _P1), _prefix_hashes(x, _B2, _P2)
+
+
+def _boundary_length(thr: float, mn: int) -> int:
+    """Smallest integer L with (L / mn) >= thr under FLOAT comparison — the
+    exact decision boundary _score_arrays applies to the exported fraction
+    (a naive ceil(thr*mn) disagrees with it on float-rounding edges like
+    thr=0.8, mn=5)."""
+    L0 = int(np.ceil(thr * mn))
+    while L0 > 1 and (L0 - 1) / mn >= thr:
+        L0 -= 1
+    while L0 <= mn and L0 / mn < thr:
+        L0 += 1
+    return L0
+
+
+def lcs_fraction_thresholded(
+    a: np.ndarray, b: np.ndarray, thr: float,
+    hi_cap: int | None = None,
+    pref_a: tuple | None = None, pref_b: tuple | None = None,
+) -> float:
+    """``lcs_fraction`` under the scorer's export contract: EXACT at/above
+    the decision threshold ``thr``, 0.0 where provably below. Pairs below
+    threshold — the common case in the rescue loop — are decided by ONE
+    shared-gram test at the boundary length instead of a full binary search
+    (~9 gram tests); pairs at/above it binary-search only [boundary, cap]
+    for the exact value. ``pref_a``/``pref_b``: optional precomputed
+    ``prefix_pair`` results (per-side cache across pairs)."""
+    n, m = len(a), len(b)
+    mn = min(n, m)
+    if mn == 0:
+        return 0.0
+    hi = mn if hi_cap is None else min(mn, int(hi_cap))
+    L0 = _boundary_length(thr, mn)
+    if L0 > hi:
+        return 0.0
+    pa1, pa2 = prefix_pair(a) if pref_a is None else pref_a
+    pb1, pb2 = prefix_pair(b) if pref_b is None else pref_b
+    if not _shares_gram(pa1, pb1, pa2, pb2, L0):
+        return 0.0
+    lo = L0
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _shares_gram(pa1, pb1, pa2, pb2, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo / mn
+
+
 def lcs_fraction(a: np.ndarray, b: np.ndarray) -> float:
     """LCS length / min(len) — 1.0 means one file's token stream is wholly
     contained in the other."""

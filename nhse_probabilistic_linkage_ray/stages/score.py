@@ -37,8 +37,9 @@ import ray.data
 
 from nhse_probabilistic_linkage_ray.config import GAMMA_ELSE, GAMMA_JACCARD_HI, GAMMA_JACCARD_LO, GAMMA_RESCUED, PipelineConfig, TIER_NAMES
 from nhse_probabilistic_linkage_ray.functions.jaccard import jaccard_flat
-from nhse_probabilistic_linkage_ray.functions.lcs import (lcs_fraction, lcs_length,
-                                                multiset_overlap)
+from nhse_probabilistic_linkage_ray.functions.lcs import (lcs_fraction, lcs_fraction_thresholded,
+                                                lcs_length, multiset_overlap,
+                                                prefix_pair)
 
 _SCORE_DEBUG = bool(__import__("os").environ.get("GRAFT_SCORE_DEBUG"))
 from nhse_probabilistic_linkage_ray.functions.simhash import hamming_distance
@@ -367,9 +368,10 @@ def _score_from_flat(
     need_exact = est >= cfg.rescue_low
     sel = np.flatnonzero(need_exact)
     if sel.size:
-        lf, lo = _subset_ragged(shLf, shLo, sel)
-        rf, ro = _subset_ragged(shRf, shRo, sel)
-        jac[sel] = jaccard_flat(lf, lo, rf, ro)
+        # sel-indexed form: per-pair views into the flat layout — no
+        # _subset_ragged copy (the copy + lexsort pair was 86% of the
+        # score stage at code-shaped shingle sets)
+        jac[sel] = jaccard_flat(shLf, shLo, shRf, shRo, sel)
 
     # LCS rescue only for near-misses that fail both Jaccard and SimHash.
     # The per-pair binary-search kernel costs ~80 numpy calls; under heavy
@@ -385,6 +387,17 @@ def _score_from_flat(
     need_lcs = need_exact & (jac < cfg.jaccard_threshold) & (ham > cfg.simhash_hamming_max)
     n_lcs_run = 0
     thr = cfg.lcs_frac_threshold
+    # per-side prefix hashes are cacheable across pairs (template-similar
+    # corpora repeat the same file in many near-miss pairs within a batch)
+    pref_cache: dict = {}
+
+    def _pref(fid: int, seq: np.ndarray):
+        p = pref_cache.get(fid)
+        if p is None:
+            p = prefix_pair(seq)
+            pref_cache[fid] = p
+        return p
+
     for i in np.flatnonzero(need_lcs):
         a = thLf[thLo[i]:thLo[i + 1]]
         b = thRf[thRo[i]:thRo[i + 1]]
@@ -395,7 +408,13 @@ def _score_from_flat(
         if ub < thr * mn:
             continue
         n_lcs_run += 1
-        lcs[i] = lcs_length(a, b, hi_cap=ub) / mn
+        # threshold-first: one gram test decides the (common) below-threshold
+        # case; exact binary search only above it — decision-identical, and
+        # the exported column keeps its documented contract (exact at/above
+        # the boundary, 0.0 where provably below)
+        lcs[i] = lcs_fraction_thresholded(
+            a, b, thr, hi_cap=ub,
+            pref_a=_pref(int(left[i]), a), pref_b=_pref(int(right[i]), b))
     if _SCORE_DEBUG:
         import sys as _sys
 

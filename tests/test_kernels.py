@@ -278,6 +278,58 @@ class TestMultisetOverlapBound:
         assert lcs_length(a, b) == 1
 
 
+class TestLCSThresholded:
+    """lcs_fraction_thresholded is the scorer's rescue evaluator: it must be
+    EXACTLY lcs_fraction at/above the threshold and 0.0 below it (the
+    documented export contract), under float-boundary semantics identical to
+    the gamma comparison ``frac >= thr``, for any valid hi_cap."""
+
+    def test_matches_reference_random(self):
+        from nhse_probabilistic_linkage_ray.functions.lcs import (
+            lcs_fraction_thresholded,
+            multiset_overlap,
+        )
+
+        rng = np.random.default_rng(99)
+        for _ in range(400):
+            a = rng.integers(0, 8, size=rng.integers(1, 40), dtype=np.uint64)
+            b = rng.integers(0, 8, size=rng.integers(1, 40), dtype=np.uint64)
+            thr = float(rng.choice([0.3, 0.5, 0.8, 0.9, 1.0]))
+            ref = lcs_fraction(a, b)
+            got = lcs_fraction_thresholded(a, b, thr,
+                                           hi_cap=multiset_overlap(a, b))
+            if ref >= thr:
+                assert got == ref
+            else:
+                assert got == 0.0
+            # gamma decision identical either way
+            assert (got >= thr) == (ref >= thr)
+
+    def test_float_boundary_exact(self):
+        # thr=0.8, mn=5: 4/5 == 0.8 in floats must PASS (ceil(0.8*5) can
+        # round to 5 and wrongly demand L=5)
+        from nhse_probabilistic_linkage_ray.functions.lcs import (
+            lcs_fraction_thresholded,
+        )
+
+        a = np.array([1, 2, 3, 4, 9], dtype=np.uint64)
+        b = np.array([7, 1, 2, 3, 4, 8], dtype=np.uint64)  # LCS=4, mn=5
+        assert lcs_fraction(a, b) == 0.8
+        assert lcs_fraction_thresholded(a, b, 0.8) == 0.8
+
+    def test_prefix_cache_form(self):
+        from nhse_probabilistic_linkage_ray.functions.lcs import (
+            lcs_fraction_thresholded,
+            prefix_pair,
+        )
+
+        a = np.array([1, 2, 3, 4, 5, 6], dtype=np.uint64)
+        b = np.array([9, 3, 4, 5, 9, 9], dtype=np.uint64)
+        assert lcs_fraction_thresholded(
+            a, b, 0.5, pref_a=prefix_pair(a), pref_b=prefix_pair(b)
+        ) == lcs_fraction_thresholded(a, b, 0.5)
+
+
 class TestFlatRaggedHelpers:
     """Buffer-level ragged helpers in stages/score.py: subset, Arrow binary
     pack/unpack round-trip (incl. a SLICED column, whose offsets don't start
