@@ -580,13 +580,21 @@ REGISTRY: dict = {
         FROM walk GROUP BY vec_id
     """),
     "embedding_near_dup_lsh": (
-        # hyperplane-LSH scale path for the same contract — rows-only for the
-        # driver (banding recall is probabilistic); subset-of-exact + recall
-        # pinned by tests/test_round2.py::TestEmbeddingLshNearDup
+        # hyperplane-LSH scale path for the same contract — the query runs
+        # the LSH path, gates it in-driver (subset-of-exact + recall >= 0.9,
+        # raising on regression), and returns the exact rows for the value
+        # hash (same pattern as ann_ivf_topk_checked); the banding recall
+        # curve itself stays pinned by tests/test_round2.py
         (lambda sf_dir: __import__(
             "nhse_probabilistic_linkage_ray.pipelines.queries_dedup",
-            fromlist=["q_embedding_near_dup_lsh"]).q_embedding_near_dup_lsh(sf_dir)),
-        None,
+            fromlist=["q_embedding_near_dup_lsh_checked"])
+         .q_embedding_near_dup_lsh_checked(sf_dir)),
+        """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
     ),
     # --- relational parity -------------------------------------------------
     "anti_join_customers_without_orders": (qr.q_anti_join_customers_without_orders, """

@@ -775,6 +775,36 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4):
     return embedding_near_dup_lsh(_load_embeddings(sf_dir), threshold)
 
 
+def q_embedding_near_dup_lsh_checked(
+    sf_dir: str, threshold: float = 0.4, recall_floor: float = 0.9
+):
+    """Hyperplane-LSH near-dup with a DRIVER-CHECKABLE quality gate (VERDICT
+    r3 #4, mirroring ``similarity.ann_ivf_topk_checked``): runs the LSH scale
+    path AND the exact block-pair path over the same embeddings, RAISES
+    unless the LSH pair set is a subset of the exact set (precision is exact
+    by construction — every emitted pair is verified with a true cosine) with
+    set recall >= ``recall_floor``, then returns the exact rows so the SQL
+    oracle can hash-verify values. A banding-recall regression now fails the
+    driver's correctness row instead of passing rows-only."""
+    lsh = q_embedding_near_dup_lsh(sf_dir, threshold).take_all()
+    exact_rows = q_embedding_near_dup_pairs(sf_dir, threshold).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in lsh}
+    want = {(r["left_id"], r["right_id"]) for r in exact_rows}
+    if not got <= want:
+        raise AssertionError(
+            f"LSH emitted {len(got - want)} pairs outside the exact set — "
+            "the exact-cosine verification stage is broken")
+    recall = len(got & want) / max(1, len(want))
+    if recall < recall_floor:
+        raise AssertionError(
+            f"LSH recall {recall:.3f} < floor {recall_floor}")
+    return pa.table({
+        "left_id": pa.array([r["left_id"] for r in exact_rows], pa.int64()),
+        "right_id": pa.array([r["right_id"] for r in exact_rows], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in exact_rows], pa.float64()),
+    })
+
+
 # ------------------------------------------------- corpus statistics (scale)
 
 def q_vocab_top_tokens(sf_dir: str, k: int = 20):

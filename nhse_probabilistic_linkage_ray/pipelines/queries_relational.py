@@ -16,7 +16,6 @@ Implementation notes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -331,8 +330,8 @@ def q_agreement_patterns(sf_dir: str):
     from nhse_probabilistic_linkage_ray.stages.report import gamma_pattern_table
 
     def gammas(batch: pa.Table) -> pa.Table:
-        rf = batch["l_returnflag"].to_pandas().to_numpy()
-        ls = batch["l_linestatus"].to_pandas().to_numpy()
+        rf = batch["l_returnflag"].combine_chunks().to_numpy(zero_copy_only=False)
+        ls = batch["l_linestatus"].combine_chunks().to_numpy(zero_copy_only=False)
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
         return pa.table({
             "l_orderkey": batch["l_orderkey"].combine_chunks(),
@@ -407,12 +406,17 @@ def q_returnflag_totals(sf_dir: str):
     groupby — the aggregation-at-scale pattern): qty + row totals per flag."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "l_returnflag": batch["l_returnflag"].to_pylist(),
-            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+        d = batch["l_returnflag"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        nd = max(1, len(d.dictionary))
+        return pa.table({
+            "l_returnflag": d.dictionary,
+            "sum_qty": pa.array(np.bincount(codes, weights=qty, minlength=nd),
+                                pa.float64()),
+            "n": pa.array(np.bincount(codes, minlength=nd).astype(np.int64),
+                          pa.int64()),
         })
-        g = df.groupby("l_returnflag", as_index=False).agg(sum_qty=("qty", "sum"), n=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     part = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
         .map_batches(partial, batch_format="pyarrow")
@@ -553,18 +557,31 @@ def q_hourly_event_counts(sf_dir: str):
     'streaming-only features: none'); tumbling windows are groupby over the
     truncated timestamp."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # combiner inside map_batches: the shuffle carries one row per
-        # (type, hour) per batch instead of one row per event
-        out = pd.DataFrame({
-            "event_type": batch["event_type"],
-            "hour": batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native combiner inside map_batches: the shuffle carries one
+        # row per (type, hour) per batch instead of one row per event.
+        # floor_temporal + strftime are Arrow kernels; the composite-key
+        # count is the repo's dictionary-encode + bincount partials pattern
+        # (queries_quality license screen) — no pandas conversion.
+        import pyarrow.compute as pc
+
+        hour = pc.strftime(
+            pc.floor_temporal(batch["ts"].combine_chunks(), unit="hour"),
+            format="%Y-%m-%d %H:00:00")
+        de = batch["event_type"].combine_chunks().dictionary_encode()
+        dh = hour.dictionary_encode()
+        ce = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = dh.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = max(1, len(dh.dictionary))
+        uniq, counts = np.unique(ce * nh + ch, return_counts=True)
+        return pa.table({
+            "event_type": de.dictionary.take(pa.array(uniq // nh, pa.int64())),
+            "hour": dh.dictionary.take(pa.array(uniq % nh, pa.int64())),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
         })
-        return out.groupby(["event_type", "hour"], as_index=False).agg(
-            n_part=("hour", "size"))
 
     return _t(sf_dir, "events", ["event_type", "ts"]) \
-        .map_batches(partial, batch_format="pandas") \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby(["event_type", "hour"]).aggregate(Sum("n_part", alias_name="n"))
 
 
