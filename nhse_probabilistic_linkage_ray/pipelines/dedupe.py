@@ -272,6 +272,23 @@ def run_dedupe(
                        mode="overwrite")
     skew = capped_band_report(scored)
     cum = cumulative_pairs_per_band(scored)
+    # over-cap BUCKET table (VERDICT r3 #7): every (band_idx, band_hash)
+    # bucket whose member count exceeded max_band_group — i.e. the buckets
+    # the candidate stage star-capped — as a first-class run artifact (the
+    # reference's A2/A6 hot-blocking-key monitor analog). One groupby over
+    # the narrow band table; the over-cap survivors are by construction few
+    # (bounded driver pull, top-1000 by size).
+    from nhse_probabilistic_linkage_ray.stages.candidates import (
+        band_explode,
+        pairs_per_band_counts,
+    )
+
+    bucket_counts = pairs_per_band_counts(band_explode(sigs, config))
+    over = bucket_counts.map_batches(
+        lambda t: t.filter(pa.array(
+            t["n_members"].to_numpy(zero_copy_only=False) > config.max_band_group)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).sort("n_members", descending=True).limit(1000).take_all()
     with open(os.path.join(metrics_path, "skew.json"), "w") as f:
         _json.dump({"capped_pairs": int(skew["capped_pairs"] or 0),
                     "pairs": int(skew["pairs"] or 0),
@@ -280,6 +297,11 @@ def run_dedupe(
                         "n_new_pairs": cum["n_new_pairs"].to_pylist(),
                         "cumulative_pairs": cum["cumulative_pairs"].to_pylist(),
                     },
+                    "capped_buckets": [
+                        {"band_idx": int(r["band_idx"]),
+                         "band_hash": int(r["band_hash"]),
+                         "n_members": int(r["n_members"])} for r in over],
+                    "max_band_group": config.max_band_group,
                     "config_hash": ch}, f)
 
     return {

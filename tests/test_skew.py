@@ -73,3 +73,33 @@ def test_pair_volume_bounded_by_cap(capped_run):
     """With capping, emitted pairs are O(n x bands), never C(n,2) per band."""
     n = 60
     assert len(capped_run["scored"]) < n * (n - 1) // 2
+
+
+def test_run_manifest_surfaces_capped_buckets(ray_session, tmp_path):
+    """run_dedupe must write the over-cap bucket table into skew.json
+    (VERDICT r3 #7): every star-capped (band_idx, band_hash) bucket with its
+    member count, alongside the per-band pair counts."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
+
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(_mega_corpus(), corpus)
+    cfg = PipelineConfig(num_perms=64, num_bands=16, max_band_group=8)
+    wd = str(tmp_path / "wd")
+    run_dedupe(corpus, wd, cfg)
+    skew = json.load(open(f"{wd}/metrics/skew.json"))
+    assert skew["capped_pairs"] > 0
+    assert skew["max_band_group"] == 8
+    buckets = skew["capped_buckets"]
+    assert buckets, "the 60-member mega-band must appear as an over-cap bucket"
+    assert all(b["n_members"] > 8 for b in buckets)
+    # sorted by size descending, and the top bucket holds most of the group
+    sizes = [b["n_members"] for b in buckets]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[0] > 30
+    assert {"band_idx", "band_hash", "n_members"} <= set(buckets[0])
+    # per-band pair table rides along
+    assert skew["pairs_per_band"]["match_key"]

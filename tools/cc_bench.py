@@ -14,10 +14,14 @@ mode='driver' wall time on a 2-8M-raw-edge fixture.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/cc_bench.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_edges(n_raw: int, seed: int = 7) -> np.ndarray:
@@ -91,7 +95,8 @@ def main() -> None:
         for b in out.iter_batches(batch_format="pyarrow"):
             f = b["file_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             c = b["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h ^= int((f * np.uint64(0x9E3779B97F4A7C15) ^ c).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
+            # partition-invariant: plain modular addition over per-row mixes
+            h = (h + int((f * np.uint64(0x9E3779B97F4A7C15) ^ c).sum())) & 0xFFFFFFFFFFFFFFFF
             n += len(f)
         sums.setdefault(mode, (n, h))
         assert sums[mode] == (n, h), f"{mode} nondeterministic"
