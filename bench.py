@@ -759,6 +759,7 @@ def run_scaling() -> dict:
                    "steal_frac": r.get("steal_frac"),
                    "ft_in_run": r.get("ft_in_run"),
                    "rb_in_run": r.get("rb_in_run"), "aborted": r.get("aborted"),
+                   "stages": r.get("stages"), "spilled_mb": r.get("spilled_mb"),
                    "host_health_pre": pre, "valid": ok, "gate_cfg": gate_cfg}
             singles.append(rec)
             print(json.dumps(rec), file=sys.stderr, flush=True)
@@ -889,6 +890,9 @@ def run_scaling() -> dict:
             f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
             f"files_per_sec_{lo}": r_lo["files_per_sec"],
             f"files_per_sec_{hi}": r_hi["files_per_sec"],
+            f"stages_{lo}": r_lo.get("stages"), f"stages_{hi}": r_hi.get("stages"),
+            f"spilled_mb_{lo}": r_lo.get("spilled_mb"),
+            f"spilled_mb_{hi}": r_hi.get("spilled_mb"),
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi / lo), 3),
             "hw_probe_speedup": round(hw_speedup, 3),

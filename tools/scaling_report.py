@@ -107,7 +107,43 @@ def render_singles(recs: list[dict]) -> str:
             out.append(
                 f"STRICT (ft med >= 30 MB/s in-run) subset empty on "
                 f"{'lo' if not s_lo else 'hi'} side so far.")
+        # per-stage efficiency from the in-record stage marks (round 4:
+        # every scaling record carries the timed pass's GRAFT_PROFILE marks)
+        # — the decomposition that tells WHICH stage under-scales, replacing
+        # two-point total-time floor fits that can misattribute
+        stage_rows = _stage_table(recs, lo, hi)
+        if stage_rows:
+            out.append("")
+            out.extend(stage_rows)
     return "\n".join(out)
+
+
+def _stage_table(recs: list[dict], lo: int, hi: int) -> list[str]:
+    def med_stages(side):
+        per: dict = {}
+        for r in recs:
+            if r["side"] != side or not r.get("valid") or not r.get("stages"):
+                continue
+            for k, v in r["stages"].items():
+                name = k.split(" (")[0]  # strip "(rows=... pairs=...)" suffix
+                per.setdefault(name, []).append(v)
+        return {k: _med(v) for k, v in per.items()}
+
+    slo, shi = med_stages(lo), med_stages(hi)
+    common = [k for k in slo if k in shi]
+    if not common:
+        return []
+    out = [f"| stage | median sec_{lo} | median sec_{hi} | stage raw eff |",
+           "|---|---|---|---|"]
+    for k in common:
+        eff = slo[k] / ((hi / lo) * shi[k]) if shi[k] else float("nan")
+        out.append(f"| {k} | {slo[k]:.1f} | {shi[k]:.1f} | {eff:.3f} |")
+    spills = [r.get("spilled_mb") or 0 for r in recs if r.get("valid")]
+    if any(spills):
+        out.append(f"\nObject-store spill observed: max {max(spills):.0f} MiB "
+                   "across valid runs — a non-scaling I/O term; see bench.py "
+                   "store sizing.")
+    return out
 
 
 def render(all_recs: list[dict]) -> str:
