@@ -73,3 +73,23 @@ def test_assign_clusters_fills_singletons(ray_session):
                                 {"file_id": 1, "cluster_id": 1}])
     out = {r["file_id"]: r["cluster_id"] for r in assign_clusters(allf, comp, cfg).take_all()}
     assert out == {1: 1, 2: 1, 3: 3, 99: 99}
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_cc_empty_and_self_loops(ray_session, mode):
+    """The sort+segment-scan star path must handle zero edges and pure
+    self-loops exactly like the driver union-find (no assignments)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from nhse_probabilistic_linkage_ray.stages.cluster import connected_components
+
+    cfg = PipelineConfig()
+    empty = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
+    assert connected_components(empty, cfg, mode=mode).take_all() == []
+    loops = ray.data.from_arrow(
+        pa.table({"u": pa.array([5, 7], pa.int64()),
+                  "v": pa.array([5, 7], pa.int64())}))
+    assert connected_components(loops, cfg, mode=mode).take_all() == []
