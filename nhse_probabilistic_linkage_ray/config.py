@@ -213,4 +213,36 @@ class PipelineConfig:
         return 1.0 - (1.0 - s ** r) ** self.num_bands
 
 
+def scaled_banding(n_rows: int, *, threshold: float = 0.7,
+                   recall_floor: float = 0.99) -> "PipelineConfig":
+    """Scale-aware banding policy (VERDICT r3 #3): candidate pairs grow
+    superlinearly with corpus size because the tail of the LSH S-curve
+    admits ever more boilerplate-similar cross pairs (measured on the
+    synthetic corpus: 1.78M pairs at 525k files -> 6.62M at 1.05M, 3.7x for
+    2x). Raising rows-per-band r sharpens the S-curve exponentially in the
+    noise regime while the recall bound at the dup threshold stays >= 0.99
+    by construction — the returned config picks the (num_perms = b x r)
+    tier for the corpus size and ASSERTS the recall invariant, so a policy
+    change can never silently break the north-rule recall target.
+
+    Collision probability at similarity s is 1-(1-s^r)^b
+    (``lsh_collision_probability``); per tier at s = 0.3 (template noise):
+    r=4/b=32 -> 0.229, r=5/b=26 -> 0.061, r=6/b=37 -> 0.027. The default
+    config stays (128, 32) — this helper is the documented scale path for
+    deployments in the 10^6+ regime, applied per run (the same config must
+    be used for every table of one linkage, as in the reference)."""
+    if n_rows < 1_000_000:
+        perms, bands = 128, 32        # r=4 — the default tier
+    elif n_rows < 100_000_000:
+        perms, bands = 130, 26        # r=5
+    else:
+        perms, bands = 222, 37        # r=6
+    cfg = PipelineConfig(num_perms=perms, num_bands=bands)
+    p = cfg.lsh_collision_probability(threshold)
+    assert p >= recall_floor, (
+        f"banding tier ({perms}, {bands}) gives recall bound {p:.4f} < "
+        f"{recall_floor} at threshold {threshold}")
+    return cfg
+
+
 DEFAULT_CONFIG = PipelineConfig()
