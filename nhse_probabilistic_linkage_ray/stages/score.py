@@ -29,6 +29,8 @@ in the signatures table. Two strategies, chosen by signature row count:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -714,12 +716,23 @@ def score_stage(
         # scoring itself is light, so 8-way does not gate throughput
         cpus = int(ray.cluster_resources().get("CPU", 8))
         per_task_cpus = max(1, cpus // 8)
+        # batch size: the two-phase gather cut per-pair cost ~7x, leaving
+        # 4096-pair tasks only ~10-15 ms of compute each — 1,610 dispatches
+        # at 6.6M pairs. 32k pairs (~70 MB fixed-gather heap per task, still
+        # >= 100 tasks at 1M-file corpora) cuts dispatch 8x; measured
+        # wall-neutral at this node scale (the dispatch cost overlaps
+        # compute) but it is the right task granularity for a multi-node
+        # pool. NOTE: the score stage's remaining non-scaling term on the
+        # bench host is a ~+13 s second-full-run-in-session inflation
+        # (plasma accumulation), independent of this batch size — see
+        # BASELINE.md r4b row.
+        batch_rows = int(os.environ.get("GRAFT_SCORE_BATCH", "32768"))
         return pairs_ds.map_batches(
             _score_task,
             fn_kwargs={"cfg_json": config.to_json(), "block_refs": block_refs,
                        "cache_key": cache_key},
             batch_format="pyarrow",
-            batch_size=4096,
+            batch_size=batch_rows,
             num_cpus=per_task_cpus,
             zero_copy_batch=True,
         )
