@@ -317,6 +317,19 @@ def run_bench() -> dict:
         warm = ray.data.read_parquet(path).limit(4096)
         dedupe_dataset(warm, PipelineConfig())["clusters"].count()
 
+    # GRAFT_SETTLE_SEC (default 0 = off): drop warm-run references, force a
+    # GC and idle briefly before the timed window. Hypothesis test for the
+    # measured second-full-run-in-session score inflation (~+13 s at 1.05M
+    # files, BASELINE.md r4b): the warm run's freed plasma objects are
+    # reclaimed lazily, and a timed run starting near store capacity pays
+    # eviction churn a first-run-of-session production job never sees.
+    settle = float(os.environ.get("GRAFT_SETTLE_SEC", "0"))
+    if settle:
+        import gc
+
+        gc.collect()
+        time.sleep(settle)
+
     # best of N timed runs (default 2): identical back-to-back executions
     # vary up to 2x on this shared host (documented in BASELINE.md); the
     # minimum is the least-stolen measurement of the same fixed workload.
