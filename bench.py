@@ -520,6 +520,16 @@ def run_scaling() -> dict:
         os.environ.setdefault("GRAFT_CALM_FT_INRUN", "100")
         os.environ.setdefault("GRAFT_CALM_RB_INRUN", "1000000000")
         os.environ.setdefault("GRAFT_SCALE_TARGET_VALID", "3")
+        # small glibc trim/mmap thresholds for the children: persistent
+        # workers otherwise accumulate untrimmed heap run over run and the
+        # second (timed) full pass pays ~+15 s in the score stage (measured
+        # 19.3/36.9/170.7 s over three runs at 512 MB thresholds vs
+        # 20.4/37.7/23.6 at 64 MB — BASELINE.md). Trimming re-faults pages
+        # at provisioning speed, which is exactly what the strict gate's
+        # calm-window requirement makes safe; non-strict runs keep the big
+        # thresholds to stay robust in bad weather.
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 << 20))
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 << 20))
 
     nbase = os.environ.get("GRAFT_SCALE_NBASE", "60000")
 
