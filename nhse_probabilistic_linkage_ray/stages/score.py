@@ -238,6 +238,13 @@ class FeatureIndex:
         subset only."""
         n = len(ids)
         i = np.searchsorted(self.sorted_fid, ids)
+        # same missing-id validation as gather/gather_fixed — without it a
+        # stray id silently reads a clamped/neighboring row (ADVICE r4)
+        if len(self.sorted_fid) == 0 or np.any(i >= len(self.sorted_fid)) \
+                or np.any(self.sorted_fid[np.minimum(i, len(self.sorted_fid) - 1)] != ids):
+            missing = ids[(i >= len(self.sorted_fid))
+                          | (self.sorted_fid[np.minimum(i, len(self.sorted_fid) - 1)] != ids)]
+            raise KeyError(int(missing[0]))
         locs = self.sorted_loc[i]
         b_arr, r_arr = locs[:, 0], locs[:, 1]
         blocks = np.unique(b_arr)
@@ -318,6 +325,48 @@ def _binary_to_flat(col) -> tuple:
     raw = np.frombuffer(bufs[2], np.uint8)
     seg = raw[byte_offs[0]:byte_offs[-1]]
     return seg.view(np.uint64), (byte_offs - byte_offs[0]) // 8
+
+
+def _apply_tf_and_emit(
+    cfg: PipelineConfig, batch: pa.Table,
+    left: np.ndarray, right: np.ndarray,
+    est, jac, ham, lcs, gamma, w, prob, tier,
+    tf_pair: "np.ndarray | None",
+) -> pa.Table:
+    """Shared tail of BOTH scoring paths (two-phase ``score_pair_batch`` and
+    full-gather ``_score_from_flat``): the per-tier term-frequency adjustment
+    over the FINAL gamma — vectorized ``cfg.tf_adjusted_match_weight``,
+    ``w += weight[gamma] * log2(u[gamma] / max(tf, tf_min))`` with tf the
+    pair's shared-value frequency (max of sides for fuzzy tiers) — plus the
+    13-column output table. One copy so schema / TF semantics cannot drift
+    between the paths (ADVICE r4)."""
+    if tf_pair is not None:
+        tw = np.array([cfg.tf_weight_for(g) for g in range(5)], dtype=np.float64)
+        if tw.any():
+            _, u = cfg.clamped_mu()
+            u_arr = np.asarray(u, dtype=np.float64)
+            sel = (tw[gamma] != 0.0) & (tf_pair > 0)
+            if sel.any():
+                g2 = gamma[sel]
+                tfv = np.maximum(tf_pair[sel], cfg.tf_minimum_u_value)
+                w = w.copy()
+                w[sel] += tw[g2] * np.log2(u_arr[g2] / tfv)
+                prob = (2.0 ** w) / (1.0 + 2.0 ** w)
+    return pa.table({
+        "left_id": pa.array(left, pa.int64()),
+        "right_id": pa.array(right, pa.int64()),
+        "match_key": batch["match_key"].combine_chunks(),
+        "capped": batch["capped"].combine_chunks(),
+        "jaccard_minhash": pa.array(est, pa.float32()),
+        "jaccard_exact": pa.array(jac.astype(np.float32), pa.float32()),
+        "hamming_simhash": pa.array(ham, pa.uint8()),
+        "lcs_frac": pa.array(lcs.astype(np.float32), pa.float32()),
+        "gamma": pa.array(gamma, pa.int8()),
+        "gamma_pattern": pa.array(gamma, pa.int8()).cast(pa.string()),
+        "tier": pa.array(tier.tolist(), pa.string()),
+        "match_weight": pa.array(w, pa.float64()),
+        "match_probability": pa.array(prob, pa.float64()),
+    })
 
 
 def _rescore_from_gamma(cfg: PipelineConfig, gamma: np.ndarray):
@@ -465,35 +514,8 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureInde
               file=_sys.stderr, flush=True)
 
     gamma, w, prob, tier = _score_arrays(cfg, est, jac, ham, lcs)
-
-    if tf_pair is not None:
-        tw = np.array([cfg.tf_weight_for(g) for g in range(5)], dtype=np.float64)
-        if tw.any():
-            _, u = cfg.clamped_mu()
-            u_arr = np.asarray(u, dtype=np.float64)
-            sel2 = (tw[gamma] != 0.0) & (tf_pair > 0)
-            if sel2.any():
-                g2 = gamma[sel2]
-                tfv = np.maximum(tf_pair[sel2], cfg.tf_minimum_u_value)
-                w = w.copy()
-                w[sel2] += tw[g2] * np.log2(u_arr[g2] / tfv)
-                prob = (2.0 ** w) / (1.0 + 2.0 ** w)
-
-    return pa.table({
-        "left_id": pa.array(left, pa.int64()),
-        "right_id": pa.array(right, pa.int64()),
-        "match_key": batch["match_key"].combine_chunks(),
-        "capped": batch["capped"].combine_chunks(),
-        "jaccard_minhash": pa.array(est, pa.float32()),
-        "jaccard_exact": pa.array(jac.astype(np.float32), pa.float32()),
-        "hamming_simhash": pa.array(ham, pa.uint8()),
-        "lcs_frac": pa.array(lcs.astype(np.float32), pa.float32()),
-        "gamma": pa.array(gamma, pa.int8()),
-        "gamma_pattern": pa.array(gamma, pa.int8()).cast(pa.string()),
-        "tier": pa.array(tier.tolist(), pa.string()),
-        "match_weight": pa.array(w, pa.float64()),
-        "match_probability": pa.array(prob, pa.float64()),
-    })
+    return _apply_tf_and_emit(cfg, batch, left, right, est, jac, ham, lcs,
+                              gamma, w, prob, tier, tf_pair)
 
 
 def _score_from_flat(
@@ -593,39 +615,10 @@ def _score_from_flat(
             gamma[lift] = GAMMA_RESCUED
             gamma, w, prob, tier = _rescore_from_gamma(cfg, gamma)
 
-    # per-tier term-frequency adjustment (vectorized form of
-    # cfg.tf_adjusted_match_weight over the FINAL gamma — after plugin lifts):
-    # w += weight[gamma] * log2(u[gamma] / max(tf, tf_min)) where tf is the
-    # pair's shared-value frequency (max of sides for fuzzy tiers)
-    if tf_pair is not None:
-        tw = np.array([cfg.tf_weight_for(g) for g in range(5)], dtype=np.float64)
-        if tw.any():
-            _, u = cfg.clamped_mu()
-            u_arr = np.asarray(u, dtype=np.float64)
-            sel2 = (tw[gamma] != 0.0) & (tf_pair > 0)
-            if sel2.any():
-                g2 = gamma[sel2]
-                tfv = np.maximum(tf_pair[sel2], cfg.tf_minimum_u_value)
-                w = w.copy()
-                w[sel2] += tw[g2] * np.log2(u_arr[g2] / tfv)
-                prob = (2.0 ** w) / (1.0 + 2.0 ** w)
-
-    out = pa.table({
-        "left_id": pa.array(left, pa.int64()),
-        "right_id": pa.array(right, pa.int64()),
-        "match_key": batch["match_key"].combine_chunks(),
-        "capped": batch["capped"].combine_chunks(),
-        "jaccard_minhash": pa.array(est, pa.float32()),
-        "jaccard_exact": pa.array(jac.astype(np.float32), pa.float32()),
-        "hamming_simhash": pa.array(ham, pa.uint8()),
-        "lcs_frac": pa.array(lcs.astype(np.float32), pa.float32()),
-        "gamma": pa.array(gamma, pa.int8()),
-        "gamma_pattern": pa.array(gamma, pa.int8()).cast(pa.string()),
-        "tier": pa.array(tier.tolist(), pa.string()),
-        "match_weight": pa.array(w, pa.float64()),
-        "match_probability": pa.array(prob, pa.float64()),
-    })
-    return out
+    # TF adjustment over the FINAL gamma (after plugin lifts) + output table
+    # — shared with the two-phase path so the tails cannot drift
+    return _apply_tf_and_emit(cfg, batch, left, right, est, jac, ham, lcs,
+                              gamma, w, prob, tier, tf_pair)
 
 
 def exact_scored_pairs(
