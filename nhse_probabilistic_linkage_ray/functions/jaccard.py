@@ -36,11 +36,16 @@ def jaccard_pairs(
 def intersect_sizes_flat(
     lf: np.ndarray, lo: np.ndarray, rf: np.ndarray, ro: np.ndarray,
     sel: "np.ndarray | None" = None,
+    sel_r: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """|A_i ∩ B_i| for a batch of pairs in flat ragged layout: left sets are
     ``lf[lo[i]:lo[i+1]]``, right sets ``rf[ro[i]:ro[i+1]]``, each sorted-unique.
     ``sel`` restricts to those pair rows (output aligned to ``sel``) — slices
-    are views into the flat layout, so no subset copy is ever made.
+    are views into the flat layout, so no subset copy is ever made. With
+    ``sel_r`` the two layouts are indexed INDEPENDENTLY (pair k = left row
+    ``sel[k]``, right row ``sel_r[k]``) — the unique-id gather path, where
+    each side's layout holds one row per DISTINCT file and hub files are not
+    re-gathered per pair (VERDICT r4 #5).
 
     Per pair: one ``searchsorted`` of the smaller (sorted) side into the
     larger + an equality count — O(m log n) on contiguous views. This
@@ -48,13 +53,16 @@ def intersect_sizes_flat(
     7.8 ms/pair at code-shaped set sizes (~500 shingles/side); the loop form
     is ~15 us/pair, a 73x kernel win, because it never materializes or sorts
     the combined stream (sortedness of each side is an input invariant)."""
-    idx = np.arange(len(lo) - 1, dtype=np.int64) if sel is None else sel
-    out = np.empty(len(idx), np.int64)
+    idx_l = np.arange(len(lo) - 1, dtype=np.int64) if sel is None else sel
+    idx_r = idx_l if sel_r is None else sel_r
+    out = np.empty(len(idx_l), np.int64)
     lo = np.asarray(lo, np.int64)
     ro = np.asarray(ro, np.int64)
-    for k, i in enumerate(idx):
+    for k in range(len(idx_l)):
+        i = idx_l[k]
+        j = idx_r[k]
         a = lf[lo[i]:lo[i + 1]]
-        b = rf[ro[i]:ro[i + 1]]
+        b = rf[ro[j]:ro[j + 1]]
         if len(b) < len(a):
             a, b = b, a
         if len(a) == 0 or len(b) == 0:
@@ -69,16 +77,18 @@ def intersect_sizes_flat(
 def jaccard_flat(
     lf: np.ndarray, lo: np.ndarray, rf: np.ndarray, ro: np.ndarray,
     sel: "np.ndarray | None" = None,
+    sel_r: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Exact per-pair Jaccard over the flat ragged pair layout (float64).
     Both-empty pairs => 1.0 (the jaccard_sorted convention). ``sel``
-    restricts to those pair rows (output aligned to ``sel``)."""
+    restricts to those pair rows (output aligned to ``sel``); ``sel_r``
+    indexes the right layout independently (see intersect_sizes_flat)."""
     la = np.diff(lo)
     lb = np.diff(ro)
     if sel is not None:
         la = la[sel]
-        lb = lb[sel]
-    inter = intersect_sizes_flat(lf, lo, rf, ro, sel)
+        lb = lb[sel if sel_r is None else sel_r]
+    inter = intersect_sizes_flat(lf, lo, rf, ro, sel, sel_r)
     union = la + lb - inter
     out = np.ones(len(la), dtype=np.float64)
     nz = union > 0

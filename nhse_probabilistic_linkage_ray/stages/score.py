@@ -455,23 +455,32 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureInde
                                 sigL, simL, shL, thL, sigR, simR, shR, thR,
                                 tf_pair=tf_pair)
     n = len(left)
-    sigL, simL = features.gather_fixed(left, P)
-    sigR, simR = features.gather_fixed(right, P)
+    # unique-id gathers (VERDICT r4 #5): hub files appear in thousands of
+    # pairs within a skewed band's batch — gather each DISTINCT id once and
+    # index per pair, instead of re-copying a hub's features per pair. The
+    # fixed-width expansion is one fancy-index; the ragged layouts are
+    # indexed per-side (jaccard_flat sel/sel_r), never expanded.
+    uL, invL = np.unique(left, return_inverse=True)
+    uR, invR = np.unique(right, return_inverse=True)
+    usigL, usimL = features.gather_fixed(uL, P)
+    usigR, usimR = features.gather_fixed(uR, P)
     tf_pair = None
     if cfg.tf_nonexact_enabled:
-        tfL, tfR = features.gather_tf(left), features.gather_tf(right)
+        tfL, tfR = features.gather_tf(uL), features.gather_tf(uR)
         if tfL is not None and tfR is not None:
-            tf_pair = np.maximum(tfL, tfR)
+            tf_pair = np.maximum(tfL[invL], tfR[invR])
 
-    est = (sigL == sigR).mean(axis=1).astype(np.float32)
-    ham = hamming_distance(simL, simR)
+    est = (usigL[invL] == usigR[invR]).mean(axis=1).astype(np.float32)
+    ham = hamming_distance(usimL[invL], usimR[invR])
 
     jac = np.zeros(n, dtype=np.float64)
     sel = np.flatnonzero(est >= cfg.rescue_low)
     if sel.size:
-        shLf, shLo = features.gather_ragged(left[sel], "shingles")
-        shRf, shRo = features.gather_ragged(right[sel], "shingles")
-        jac[sel] = jaccard_flat(shLf, shLo, shRf, shRo, np.arange(len(sel)))
+        selL_u, selL_inv = np.unique(left[sel], return_inverse=True)
+        selR_u, selR_inv = np.unique(right[sel], return_inverse=True)
+        shLf, shLo = features.gather_ragged(selL_u, "shingles")
+        shRf, shRo = features.gather_ragged(selR_u, "shingles")
+        jac[sel] = jaccard_flat(shLf, shLo, shRf, shRo, selL_inv, selR_inv)
 
     lcs = np.zeros(n, dtype=np.float64)
     need_lcs = np.zeros(n, dtype=bool)
@@ -481,8 +490,10 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureInde
     n_lcs_run = 0
     thr = cfg.lcs_frac_threshold
     if nl.size:
-        thLf, thLo = features.gather_ragged(left[nl], "tokens")
-        thRf, thRo = features.gather_ragged(right[nl], "tokens")
+        nlL_u, nlL_inv = np.unique(left[nl], return_inverse=True)
+        nlR_u, nlR_inv = np.unique(right[nl], return_inverse=True)
+        thLf, thLo = features.gather_ragged(nlL_u, "tokens")
+        thRf, thRo = features.gather_ragged(nlR_u, "tokens")
         pref_cache: dict = {}
 
         def _pref(fid: int, seq: np.ndarray):
@@ -493,8 +504,10 @@ def score_pair_batch(cfg: PipelineConfig, batch: pa.Table, features: FeatureInde
             return p
 
         for j in range(len(nl)):
-            a = thLf[thLo[j]:thLo[j + 1]]
-            b = thRf[thRo[j]:thRo[j + 1]]
+            il = nlL_inv[j]
+            ir = nlR_inv[j]
+            a = thLf[thLo[il]:thLo[il + 1]]
+            b = thRf[thRo[ir]:thRo[ir + 1]]
             mn = min(len(a), len(b))
             if mn == 0:
                 continue
