@@ -44,14 +44,21 @@ class MinHasher:
     """
 
     def __init__(self, num_perms: int, seed: int):
-        assert num_perms & (num_perms - 1) == 0, "num_perms must be a power of two"
+        if num_perms < 1:
+            raise ValueError("num_perms must be positive")
         rng = np.random.default_rng(seed)
         # one seeded bijection of Z_2^64 (odd multiplier) re-randomizes the
         # shingle space so different seeds give independent signatures
         self.a = _U64(rng.integers(1, 2**63, dtype=np.uint64) * 2 + 1)
         self.b = _U64(rng.integers(0, 2**63, dtype=np.uint64))
         self.num_perms = num_perms
-        self.bin_shift = _U64(64 - int(np.log2(num_perms)))
+        # power-of-two P bins by the hash's top bits (the original scheme —
+        # preserved so existing signatures/checkpoints are unchanged);
+        # other P (the r=5/r=6 banding tiers: 130, 222) use fixed-point range
+        # reduction bin = (h>>32) * P >> 32 (Lemire's fastrange, public) —
+        # uniform over [0, P) from the same top bits
+        self.pow2 = num_perms & (num_perms - 1) == 0
+        self.bin_shift = _U64(64 - int(np.log2(num_perms))) if self.pow2 else _U64(0)
 
     def signatures(self, flat_shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """(rows, P) uint64 signature matrix from the flat per-row shingle-set
@@ -63,7 +70,10 @@ class MinHasher:
             return out
 
         h = self.a * flat_shingles + self.b          # one pass, uint64 wrap
-        bins = (h >> self.bin_shift).astype(np.int64)
+        if self.pow2:
+            bins = (h >> self.bin_shift).astype(np.int64)
+        else:
+            bins = (((h >> _U64(32)) * _U64(P)) >> _U64(32)).astype(np.int64)
         counts = np.diff(offsets)
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
 

@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-u-pairs", type=int, default=1_000_000,
                     help="train mode: cap on random pairs for u estimation")
     ap.add_argument("--config", help="PipelineConfig JSON file (default: defaults)")
+    ap.add_argument("--no-auto-banding", action="store_true",
+                    help="dedupe mode: keep the config's (num_perms, num_bands) "
+                         "instead of auto-tiering from the measured corpus size "
+                         "(auto is also off whenever --config pins a "
+                         "non-default banding)")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: autodetect)")
     ap.add_argument("--save-model", help="model store dir to record the config in")
@@ -103,10 +108,15 @@ def main(argv=None) -> int:
     else:
         from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
 
-        out = run_dedupe(args.input, args.workdir, config, resume=not args.no_resume)
+        out = run_dedupe(args.input, args.workdir, config,
+                         resume=not args.no_resume,
+                         auto_banding=False if args.no_auto_banding else None)
+        config = out.get("config", config)  # the tier the run actually used
         n = out["clusters"].count()
     print(json.dumps({"workdir": args.workdir, "config_hash": config.config_hash,
-                      "mode": args.mode, "rows": n}))
+                      "mode": args.mode, "rows": n,
+                      "num_perms": config.num_perms,
+                      "num_bands": config.num_bands}))
 
     if args.save_model:
         from nhse_probabilistic_linkage_ray.sources.model_store import save_model
