@@ -125,3 +125,69 @@ class TestAutoBandingWiring:
         sig = out["new_signatures"].take_all()
         assert len(sig) == 1
         assert len(sig[0]["minhash"]) == 130
+
+
+class TestBroadcastVocabFallback:
+    """VERDICT r4 #2: the line-dedup / gram-novelty queries must have a real
+    at-scale path above the broadcast contract — hash-partitioned joins,
+    byte-identical to the broadcast path, no NotImplementedError anywhere."""
+
+    @pytest.fixture(scope="class")
+    def multiline_docs_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("docs_multiline")
+        boiler = ["import os", "import sys", "# Licensed under Apache-2.0",
+                  "", "def main():"]
+        rows_id, rows_text = [], []
+        for i in range(60):
+            lines = list(boiler[: 2 + i % 4])
+            lines += [f"unique line {i} {j} {i * j + 7}" for j in range(6)]
+            if i % 3 == 0:
+                lines.append("return None")
+            rows_id.append(i)
+            rows_text.append("\n".join(lines))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_text, pa.string()),
+        }), os.path.join(str(d), "documents.parquet"))
+        return str(d)
+
+    def test_line_dedup_join_matches_broadcast(self, ray_session, multiline_docs_dir):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import q_line_dedup_global
+
+        a = q_line_dedup_global(multiline_docs_dir, strategy="broadcast") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_line_dedup_global(multiline_docs_dir, strategy="join") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        # the fixture's boilerplate lines are really dropped
+        assert (a.n_kept < a.n_lines).sum() == len(a)  # every doc has boiler
+        assert (a.n_kept > 0).all()                    # unique lines survive
+
+    def test_line_dedup_auto_switches_to_join(self, ray_session,
+                                              multiline_docs_dir, monkeypatch):
+        import nhse_probabilistic_linkage_ray.pipelines.queries_quality as qq
+
+        base = qq.q_line_dedup_global(multiline_docs_dir, strategy="broadcast") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        monkeypatch.setattr(qq, "DUP_LINE_BROADCAST_LIMIT", 1)
+        auto = qq.q_line_dedup_global(multiline_docs_dir) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert auto.equals(base)
+
+    def test_ngram_novelty_join_matches_broadcast(self, ray_session):
+        from nhse_probabilistic_linkage_ray.pipelines.queries_quality import q_ngram_novelty
+
+        a = q_ngram_novelty("/root/testdata/sf0.001", strategy="broadcast") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_ngram_novelty("/root/testdata/sf0.001", strategy="join") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert (a.n_dup_grams > 0).any()
+
+    def test_no_not_implemented_left(self):
+        import inspect
+
+        import nhse_probabilistic_linkage_ray.pipelines.queries_quality as qq
+
+        src = inspect.getsource(qq)
+        assert "NotImplementedError" not in src
