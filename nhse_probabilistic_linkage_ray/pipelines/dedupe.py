@@ -140,6 +140,13 @@ def dedupe_dataset(
                                      "content_sha256", "rep_id"])
     clusters = assign_clusters(all_ids, components, config)
 
+    # release accumulated worker-heap scratch so the NEXT pipeline in this
+    # session does not allocate beside gigabytes of dead heap (r4 three-run
+    # probe; util.trim_worker_heaps docstring) — ~0.1 s against the idle pool
+    from nhse_probabilistic_linkage_ray.stages.util import trim_worker_heaps
+
+    trim_worker_heaps()
+
     return {
         "clusters": clusters,
         "scored_pairs": scored,
@@ -408,6 +415,10 @@ def run_dedupe(
                     "max_band_group": config.max_band_group,
                     "config_hash": ch,
                     "input_fingerprint": fp}, f)
+
+    from nhse_probabilistic_linkage_ray.stages.util import trim_worker_heaps
+
+    trim_worker_heaps()
 
     return {
         "clusters": clusters,

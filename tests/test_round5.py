@@ -191,3 +191,18 @@ class TestBroadcastVocabFallback:
 
         src = inspect.getsource(qq)
         assert "NotImplementedError" not in src
+
+
+def test_trim_worker_heaps_runs(ray_session):
+    """The end-of-run heap-trim hook (VERDICT r4 #7) broadcasts malloc_trim
+    across the idle pool and reports completions; env-gate disables it."""
+    import os
+
+    from nhse_probabilistic_linkage_ray.stages.util import trim_worker_heaps
+
+    assert trim_worker_heaps() >= 1
+    os.environ["GRAFT_TRIM_AFTER_RUN"] = "0"
+    try:
+        assert trim_worker_heaps() == 0
+    finally:
+        del os.environ["GRAFT_TRIM_AFTER_RUN"]
