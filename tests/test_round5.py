@@ -206,3 +206,97 @@ def test_trim_worker_heaps_runs(ray_session):
         assert trim_worker_heaps() == 0
     finally:
         del os.environ["GRAFT_TRIM_AFTER_RUN"]
+
+
+class TestAdversarialSkew:
+    """VERDICT r4 #8: pin the round-4 rebuilds at adversarial skew — one
+    mega-component (1M-edge star) through both CC paths, and a hub file in
+    10k pairs through the two-phase scorer vs the full-gather path."""
+
+    def test_cc_megastar_distributed_equals_driver(self, ray_session):
+        import ray
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.stages.cluster import connected_components
+
+        rng = np.random.default_rng(11)
+        hub_n = 1_000_000
+        star_u = np.full(hub_n, 5, dtype=np.int64)
+        star_v = np.arange(10, 10 + hub_n, dtype=np.int64)
+        # plus a scatter of small components and duplicate edges
+        small_u = np.arange(3_000_000, 3_000_000 + 20_000, 2, dtype=np.int64)
+        small_v = small_u + 1
+        u = np.concatenate([star_u, small_u, star_u[:5000]])
+        v = np.concatenate([star_v, small_v, star_v[:5000]])
+        perm = rng.permutation(len(u))
+        t = pa.table({"u": pa.array(u[perm], pa.int64()),
+                      "v": pa.array(v[perm], pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(16).materialize()
+        cfg = PipelineConfig()
+
+        def collect(mode):
+            out = connected_components(ds, cfg, mode=mode)
+            return {r["file_id"]: r["cluster_id"] for r in out.take_all()}
+
+        drv = collect("driver")
+        dist = collect("distributed")
+        assert drv == dist
+        # star members all land in the hub's min-id cluster
+        assert drv[5] == 5
+        assert drv[10 + hub_n - 1] == 5
+        assert sum(1 for c in drv.values() if c == 5) == hub_n + 1
+
+    def test_score_hub_two_phase_equals_full_gather(self, ray_session):
+        from nhse_probabilistic_linkage_ray.functions.minhash import MinHasher
+        from nhse_probabilistic_linkage_ray.stages.score import (
+            FeatureIndex,
+            _score_from_flat,
+            score_pair_batch,
+        )
+
+        rng = np.random.default_rng(23)
+        cfg = PipelineConfig()
+        P = cfg.num_perms
+        n = 10_001
+        template = np.unique(rng.integers(0, 2**63, 300).astype(np.uint64))
+        sh_sets, tok_sets = [], []
+        for i in range(n):
+            keep = rng.random(len(template)) > (0.02 + 0.4 * (i % 3 == 0 and i > 0))
+            extra = rng.integers(0, 2**63, 5 + (i % 7)).astype(np.uint64)
+            sh_sets.append(np.unique(np.concatenate([template[keep], extra])))
+            tok_sets.append(rng.integers(0, 2**63, 50 + (i % 40)).astype(np.uint64))
+        flat = np.concatenate(sh_sets)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in sh_sets], out=offs[1:])
+        mh = MinHasher(P, cfg.seed)
+        sigs = mh.signatures(flat, offs)
+        tbl = pa.table({
+            "file_id": pa.array(np.arange(n), pa.int64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.uint64()), P),
+            "simhash": pa.array(rng.integers(0, 2**63, n).astype(np.uint64),
+                                pa.uint64()),
+            "shingles": pa.array([s.tolist() for s in sh_sets],
+                                 pa.large_list(pa.uint64())),
+            "token_hashes": pa.array([t.tolist() for t in tok_sets],
+                                     pa.large_list(pa.uint64())),
+        })
+        idx = FeatureIndex([tbl], P)
+        # hub file 0 paired with every other file — 10k pairs, one hub
+        batch = pa.table({
+            "left_id": pa.array(np.zeros(n - 1, np.int64)),
+            "right_id": pa.array(np.arange(1, n, dtype=np.int64)),
+            "match_key": pa.array(np.zeros(n - 1, np.int32), pa.int32()),
+            "capped": pa.array(np.zeros(n - 1, np.uint8), pa.uint8()),
+        })
+        two_phase = score_pair_batch(cfg, batch, idx)
+        left = batch["left_id"].to_numpy(zero_copy_only=False)
+        right = batch["right_id"].to_numpy(zero_copy_only=False)
+        sigL, simL, shL, thL = idx.gather(left, P)
+        sigR, simR, shR, thR = idx.gather(right, P)
+        full = _score_from_flat(cfg, batch, left, right,
+                                sigL, simL, shL, thL, sigR, simR, shR, thR)
+        assert two_phase.equals(full)
+        # the fixture really exercises every tier
+        tiers = set(two_phase["tier"].to_pylist())
+        assert {"jaccard_hi", "else"} <= tiers
