@@ -311,8 +311,17 @@ def run_bench() -> dict:
     # the first full run faults every worker's peak heap (glibc keeps freed
     # blocks resident via the raised trim threshold), so the timed runs touch
     # no fresh pages and are immune to provisioning weather.
+    # GRAFT_AUTO_BANDING (default 1): let the pipeline pick its banding tier
+    # from the measured corpus size, matching run_dedupe's default-on policy.
+    # Below 1M representatives the tier is the default (128, 32), so headline
+    # numbers at nbase<=300000 are bit-identical to the pinned-tier protocol;
+    # at 1.05M files the r=5 tier engages (VERDICT r4 #1 done-bar) and the
+    # decision is visible in the profile marks. Set 0 to pin the r=4 tier
+    # for cross-size A/B runs.
+    auto_banding = os.environ.get("GRAFT_AUTO_BANDING", "1") != "0"
     if os.environ.get("GRAFT_BENCH_WARM_FULL"):
-        dedupe_dataset(files_ds, PipelineConfig())["clusters"].count()
+        dedupe_dataset(files_ds, PipelineConfig(),
+                       auto_banding=auto_banding)["clusters"].count()
     else:
         warm = ray.data.read_parquet(path).limit(4096)
         dedupe_dataset(warm, PipelineConfig())["clusters"].count()
@@ -367,7 +376,7 @@ def run_bench() -> dict:
     for _ in range(int(os.environ.get("GRAFT_BENCH_TIMED_RUNS", "2"))):
         s0, st0 = read_steal(pin_n)
         t0 = time.time()
-        out = dedupe_dataset(files_ds, PipelineConfig())
+        out = dedupe_dataset(files_ds, PipelineConfig(), auto_banding=auto_banding)
         n_clusters = out["clusters"].count()
         dt = time.time() - t0
         s1, st1 = read_steal(pin_n)

@@ -112,9 +112,17 @@ def dedupe_dataset(
     # the mapped table is consumed by three branches — materialize ONCE
     mapped = ensure_blocks(mapped.materialize())
     n_rows = mapped.count()  # metadata on a materialized dataset — free
+    banding_note = ""
     if auto_banding:
-        config = apply_scaled_banding(config, _count_representatives(mapped))
-    mark("ingest+exact")
+        n_reps = _count_representatives(mapped)
+        tiered = apply_scaled_banding(config, n_reps)
+        if (tiered.num_perms, tiered.num_bands) != (config.num_perms,
+                                                    config.num_bands):
+            banding_note = (f" [auto-banding: reps={n_reps} tier="
+                            f"({tiered.num_perms},{tiered.num_bands})"
+                            f" r={tiered.rows_per_band}]")
+        config = tiered
+    mark("ingest+exact" + banding_note)
 
     # mapped is already >= 2x-CPUs blocks (ensure_blocks) — the signature pool
     # inherits that width; an extra repartition here fuses into the same
