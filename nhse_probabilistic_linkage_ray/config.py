@@ -216,8 +216,17 @@ class PipelineConfig:
 def banding_tier(n_rows: int) -> tuple:
     """(num_perms, num_bands) banding tier for a corpus of ``n_rows``
     post-exact-dedup representatives — the tier table behind
-    ``scaled_banding`` / ``apply_scaled_banding``."""
-    if n_rows < 1_000_000:
+    ``scaled_banding`` / ``apply_scaled_banding``.
+
+    Boundary calibration (round 5): the superlinear pair growth that
+    motivates the r=5 tier was MEASURED at 436k -> 872k representatives
+    (1.78M -> 6.62M candidate pairs, 3.7x for 2x — BASELINE.md r3i), both
+    below the original 1M boundary, so the tier never engaged on the corpus
+    that demonstrated the problem. The boundary now sits at 600k reps:
+    pairs-per-rep is still ~4.1 at 436k (healthy) and ~7.6 at 872k (noise
+    regime), so the cut lands between the measured healthy and blown-up
+    sizes."""
+    if n_rows < 600_000:
         return 128, 32        # r=4 — the default tier
     if n_rows < 100_000_000:
         return 130, 26        # r=5

@@ -45,6 +45,14 @@ class TestAutoBandingWiring:
             cfg = PipelineConfig(num_perms=perms, num_bands=bands)
             assert cfg.lsh_collision_probability(cfg.jaccard_threshold) >= 0.99
 
+    def test_tier_boundary_calibration(self):
+        # the measured pair blowup happened between 436k and 872k reps
+        # (BASELINE.md r3i) — the boundary must separate those two sizes so
+        # the 1.05M-file bench corpus (872k reps) engages r=5 while the 525k
+        # corpus (436k reps) keeps the r=4 record comparable
+        assert banding_tier(436_000) == (128, 32)
+        assert banding_tier(872_000) == (130, 26)
+
     def test_run_dedupe_records_banding_manifest(self, ray_session, corpus_path, tmp_path):
         from nhse_probabilistic_linkage_ray.pipelines.dedupe import run_dedupe
 
@@ -300,3 +308,26 @@ class TestAdversarialSkew:
         # the fixture really exercises every tier
         tiers = set(two_phase["tier"].to_pylist())
         assert {"jaccard_hi", "else"} <= tiers
+
+
+class TestR5TierRecall:
+    def test_r5_tier_recall_vs_brute_force(self, ray_session, small_corpus):
+        """The r=5 tier's 0.99 recall bound is analytic; pin it empirically:
+        the full pipeline at (130, 26) must still find >= 0.99 of the
+        brute-force dup pairs (the banding tier only changes CANDIDATE
+        generation — scoring and clustering are tier-independent)."""
+        import ray.data
+
+        from nhse_probabilistic_linkage_ray.oracle import brute_force, cluster_pairs
+        from nhse_probabilistic_linkage_ray.pipelines.dedupe import dedupe_dataset
+
+        cfg = PipelineConfig(num_perms=130, num_bands=26)
+        out = dedupe_dataset(ray.data.from_arrow(small_corpus), cfg)
+        got = cluster_pairs({r["file_id"]: r["cluster_id"]
+                             for r in out["clusters"].take_all()})
+        oracle = brute_force(small_corpus, cfg)
+        want = cluster_pairs(oracle.clusters)
+        recall = len(got & want) / max(1, len(want))
+        precision = len(got & want) / max(1, len(got))
+        assert recall >= 0.99, f"recall {recall}"
+        assert precision >= 0.99, f"precision {precision}"
