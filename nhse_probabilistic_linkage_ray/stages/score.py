@@ -113,13 +113,25 @@ def _plugin_scores(name: str, shL, shR, thL, thR) -> np.ndarray:
     return np.asarray(fn(shL, shR, thL, thR), dtype=np.float64)
 
 
-def _block_views(sig_table: pa.Table, num_perms: int) -> tuple:
-    """Zero-copy numpy views over one Arrow block of the signatures table."""
-    fid = sig_table["file_id"].to_numpy(zero_copy_only=False)
-    sigs = np.asarray(sig_table["minhash"].combine_chunks().flatten()).reshape(len(fid), num_perms)
-    simh = sig_table["simhash"].to_numpy(zero_copy_only=False)
-    sh = sig_table["shingles"].combine_chunks()
-    th = sig_table["token_hashes"].combine_chunks()
+def _batch_views(rb: "pa.RecordBatch", num_perms: int) -> tuple:
+    """Zero-copy numpy views over one RecordBatch of the signatures table.
+
+    Operates on record batches, NEVER on chunked columns: the round-5
+    diagnosis found each Arrow block arriving with ~3 chunks per column, so
+    the previous ``combine_chunks`` here silently memcpy'd the ~8 GB of
+    ragged shingle/token payloads into EVERY scorer worker's private heap
+    (measured 10.2 s per worker at 872k reps, 8 identical concurrent builds
+    — the flat score-stage term in the r5a hunt; also the private-heap
+    growth behind the r4 worker-heap accumulation). Per record batch,
+    ``.offsets`` is a zero-copy slice holding ABSOLUTE indices into the
+    full child array and ``.values`` returns that full child unsliced, so
+    (values, offsets) pairs index correctly with no copy; fixed-size-list
+    ``flatten()`` is likewise slice-aware and copy-free for null-free data."""
+    fid = rb.column("file_id").to_numpy(zero_copy_only=False)
+    sigs = np.asarray(rb.column("minhash").flatten()).reshape(len(fid), num_perms)
+    simh = rb.column("simhash").to_numpy(zero_copy_only=False)
+    sh = rb.column("shingles")
+    th = rb.column("token_hashes")
     return (fid, sigs, simh,
             np.asarray(sh.values), np.asarray(sh.offsets),
             np.asarray(th.values), np.asarray(th.offsets))
@@ -133,13 +145,14 @@ class FeatureIndex:
     a per-actor Python dict build that serialized the whole scoring stage."""
 
     def __init__(self, blocks: list, num_perms: int):
-        self.views = [_block_views(b, num_perms) for b in blocks if len(b)]
+        batches = [rb for b in blocks if len(b) for rb in b.to_batches() if len(rb)]
+        self.views = [_batch_views(rb, num_perms) for rb in batches]
         # optional per-rep TF column (per-tier TF adjustments): kept as a
-        # parallel list of per-block float64 views, gathered via gather_tf
+        # parallel list of per-batch float64 views, gathered via gather_tf
         self.tf_views = [
-            b["tf_value"].to_numpy(zero_copy_only=False)
-            if "tf_value" in b.column_names else None
-            for b in blocks if len(b)
+            rb.column("tf_value").to_numpy(zero_copy_only=False)
+            if "tf_value" in rb.schema.names else None
+            for rb in batches
         ]
         if not self.views:
             self.sorted_fid = np.empty(0, np.int64)
@@ -421,11 +434,21 @@ _WORKER_INDEX_CACHE: dict = {}
 def _score_task(batch: pa.Table, cfg_json: str, block_refs: tuple, cache_key: str) -> pa.Table:
     entry = _WORKER_INDEX_CACHE.get(cache_key)
     if entry is None:
+        import time as _time
+
+        t0 = _time.time()
         cfg = PipelineConfig.from_json(cfg_json)
         blocks = ray.get(list(block_refs))
+        t1 = _time.time()
         entry = (cfg, FeatureIndex(blocks, cfg.num_perms))
         _WORKER_INDEX_CACHE.clear()  # hold at most one run's index per worker
         _WORKER_INDEX_CACHE[cache_key] = entry
+        if os.environ.get("GRAFT_SCORE_TIMING"):
+            import sys as _sys
+
+            print(f"[score-index] get={t1 - t0:.2f}s build={_time.time() - t1:.2f}s "
+                  f"blocks={len(blocks)} rows={sum(len(b) for b in blocks)}",
+                  file=_sys.stderr, flush=True)
     cfg, idx = entry
     return score_pair_batch(cfg, batch, idx)
 
@@ -716,12 +739,11 @@ def score_stage(
         block_refs = tuple(r[0] if isinstance(r, tuple) else r
                            for r in signatures_ds.materialize().to_arrow_refs())
         cache_key = uuid.uuid4().hex
-        # cap concurrent scorer tasks at ~8: each first-task-per-worker builds
-        # the FeatureIndex over the shared blocks, and 30+ simultaneous builds
-        # thrash memory bandwidth (measured 22s/build at 32-way vs 1s at 8-way);
-        # scoring itself is light, so 8-way does not gate throughput
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        per_task_cpus = max(1, cpus // 8)
+        # full-width scorer tasks: the per-worker FeatureIndex build is
+        # zero-copy views over the shared plasma blocks (0.2 s at 872k reps —
+        # see _batch_views; the old ~8-way cap existed because combine_chunks
+        # made each build memcpy ~8 GB, measured 22 s/build at 32-way)
+        per_task_cpus = 1
         # batch size: the two-phase gather cut per-pair cost ~7x, leaving
         # 4096-pair tasks only ~10-15 ms of compute each — 1,610 dispatches
         # at 6.6M pairs. 32k pairs (~70 MB fixed-gather heap per task, still
