@@ -331,3 +331,49 @@ class TestR5TierRecall:
         precision = len(got & want) / max(1, len(got))
         assert recall >= 0.99, f"recall {recall}"
         assert precision >= 0.99, f"precision {precision}"
+
+
+class TestFeatureIndexZeroCopy:
+    def test_views_share_memory_with_source_buffers(self):
+        """Pin the round-5 fix: FeatureIndex over MULTI-CHUNK blocks must
+        view the source buffers, not copy them (the pre-fix combine_chunks
+        build memcpy'd ~8 GB per scorer worker at 872k reps)."""
+        from nhse_probabilistic_linkage_ray.stages.score import FeatureIndex
+
+        P = 4
+
+        def tbl(ids, seed):
+            rng = np.random.default_rng(seed)
+            mh = [rng.integers(0, 2**32, P, dtype=np.uint64) for _ in ids]
+            sh = [rng.integers(0, 2**32, 5 + i % 3, dtype=np.uint64)
+                  for i, _ in enumerate(ids)]
+            return pa.table({
+                "file_id": pa.array(ids, pa.int64()),
+                "minhash": pa.array([m.tolist() for m in mh],
+                                    pa.list_(pa.uint64(), P)),
+                "simhash": pa.array(rng.integers(0, 2**32, len(ids),
+                                                 dtype=np.uint64), pa.uint64()),
+                "shingles": pa.array([s.tolist() for s in sh],
+                                     pa.large_list(pa.uint64())),
+                "token_hashes": pa.array([s[::-1].tolist() for s in sh],
+                                         pa.large_list(pa.uint64())),
+            })
+
+        # one block, three chunks per column — the shape Ray hands the scorer
+        t1, t2, t3 = tbl([1, 2, 3], 0), tbl([4, 5], 1), tbl([6, 7, 8], 2)
+        block = pa.concat_tables([t1, t2, t3])
+        assert block["shingles"].num_chunks == 3
+        idx = FeatureIndex([block], P)
+        # one view per chunk, each sharing memory with its source chunk
+        assert len(idx.views) == 3
+        for vi, chunk in enumerate(block["shingles"].iterchunks()):
+            src_vals = np.asarray(chunk.values)
+            view_vals = idx.views[vi][3]
+            assert np.shares_memory(view_vals, src_vals) or len(src_vals) == 0
+        # and the gathers still return the right rows
+        ids = np.array([5, 1, 8], np.int64)
+        _sig, _sim, (shv, sho), _th = idx.gather(ids, P)
+        want5 = np.asarray(t2["shingles"].chunk(0).values)[
+            np.asarray(t2["shingles"].chunk(0).offsets)[1]:]
+        got5 = shv[sho[0]:sho[1]]
+        assert got5.tolist() == want5.tolist()
