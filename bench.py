@@ -42,15 +42,28 @@ BENCH_QUERIES = [
 def corpus_path() -> str:
     import pyarrow.parquet as pq
 
-    path = f"/tmp/graft_bench_corpus_nb{N_BASE}_rg.parquet"
+    path = f"/tmp/graft_bench_corpus_nb{N_BASE}_sharded"
     if not os.path.exists(path):
         from nhse_probabilistic_linkage_ray.sources.corpus import generate_corpus
 
         t = generate_corpus(n_base=N_BASE)
-        # small row groups so parallel readers get real splits (a single row
-        # group would make every read task decode the whole file)
-        pq.write_table(t, path + ".tmp", row_group_size=1024)
-        os.rename(path + ".tmp", path)
+        # SHARDED layout (round 5): ray.data.read_parquet parallelizes by
+        # FILE — a single corpus file was read by ONE task (serial 3.2 s at
+        # 35k rows, ~9 s at 1.05M) that gated every downstream map; 64+
+        # shards read at full width (measured 3.6 -> 0.6 s for
+        # read+normalize at 35k rows / 32 CPUs). Also the layout the
+        # resumable-output contract prescribes — never one giant file.
+        # Small row groups keep intra-file splits for narrow re-reads.
+        n = len(t)
+        shards = max(64, -(-n // 65536))
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for i in range(shards):
+            lo_r, hi_r = i * n // shards, (i + 1) * n // shards
+            if hi_r > lo_r:
+                pq.write_table(t.slice(lo_r, hi_r - lo_r),
+                               f"{tmp}/part-{i:05d}.parquet", row_group_size=1024)
+        os.rename(tmp, path)
     return path
 
 
@@ -297,9 +310,12 @@ def run_bench() -> dict:
 
     path = corpus_path()
     # warm the OS page cache so we measure compute + shuffle, not first read
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    shard_files = ([os.path.join(path, p) for p in sorted(os.listdir(path))]
+                   if os.path.isdir(path) else [path])
+    for sp in shard_files:
+        with open(sp, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     files_ds = ray.data.read_parquet(path)
     n_files = files_ds.count()
